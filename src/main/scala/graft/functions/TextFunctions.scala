@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text kernels: Spark-first re-expressions of the
+  * reference's `clean_text` (reference src/utils.py:5-10, applied at
+  * src/preprocess.py:48 and src/predict.py:81) plus the text-analysis
+  * extensions a training-data pipeline needs (token stats, quality
+  * scoring, language guessing, fingerprinting).
+  *
+  * Everything is composed from built-in column functions — no UDFs —
+  * so the whole chain stays inside WholeStageCodegen and is equally
+  * usable in batch and Structured Streaming plans.
+  */
+object TextFunctions {
+
+  /** Python's string.punctuation — the exact 32-char set the reference
+    * deletes via str.translate (reference src/utils.py:9). */
+  val asciiPunctuation: String = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"
+
+  /** F1: strip URLs (reference src/utils.py:6). */
+  def stripUrls(c: Column): Column = regexp_replace(c, "http\\S+|www\\S+", "")
+
+  /** F2: strip @mentions (reference src/utils.py:7). */
+  def stripMentions(c: Column): Column = regexp_replace(c, "@\\w+", "")
+
+  /** F3: strip #hashtags (reference src/utils.py:8). */
+  def stripHashtags(c: Column): Column = regexp_replace(c, "#\\w+", "")
+
+  /** F4: delete ASCII punctuation (reference src/utils.py:9). */
+  def dropPunctuation(c: Column): Column = translate(c, asciiPunctuation, "")
+
+  /** Python str.strip() parity: strips ALL leading/trailing whitespace
+    * including tab/newline — Spark's trim() strips spaces only
+    * (golden case at reference src/unit_tests/test_utils.py:18-21). */
+  def pyStrip(c: Column): Column = regexp_replace(c, "^\\s+|\\s+$", "")
+
+  /** F1–F5 chained in reference order (src/utils.py:5-10). */
+  def cleanText(c: Column): Column =
+    pyStrip(lower(dropPunctuation(stripHashtags(stripMentions(stripUrls(c))))))
+
+  /** F6: label decode — 1→Positive, 0→Negative, else Unknown
+    * (reference src/predict.py:84-92). */
+  def decodeSentiment(pred: Column): Column =
+    when(pred === 1, "Positive sentiment")
+      .when(pred === 0, "Negative sentiment")
+      .otherwise("Unknown sentiment")
+
+  /** Whitespace tokenizer over a python-stripped string. */
+  def tokens(c: Column): Column = split(pyStrip(c), "\\s+")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Tiny embedded stopword list for quality scoring (not the model
+    * pipeline's list — that one ships sklearn's 318 words, see ml/). */
+  val qualityStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  def stopwordCount(toks: Column): Column =
+    size(filter(toks, t => t.isin(qualityStopwords: _*)))
+
+  /** Sum of token lengths (for avg-word-length style metrics). */
+  def tokenCharSum(toks: Column): Column =
+    aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x)
+
+  /** Content-defined document fingerprint: md5 over the cleaned text.
+    * Stable across engines (unlike murmur/xxhash whose seeds differ),
+    * so it doubles as the exact-dedup key. */
+  def fingerprint(c: Column): Column = md5(cleanText(c))
+
+  /** Word n-gram shingles from a token array (1-based element_at).
+    * Guarded so short docs yield an empty array instead of a negative
+    * `sequence` range. */
+  def wordShingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+      .otherwise(array())
+
+  /** Language-marker hit count: number of whole-word matches of any of
+    * the marker words. */
+  def markerHits(c: Column, markers: Seq[String]): Column =
+    size(regexp_extract_all(c, lit("\\b(" + markers.mkString("|") + ")\\b"), lit(0)))
+}

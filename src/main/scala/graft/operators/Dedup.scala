@@ -1,0 +1,194 @@
+package graft.operators
+
+import graft.core.{GQuery, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` — the exact and near-dup
+  * families a pretraining-data pipeline runs at corpus scale.
+  *
+  * Scale posture:
+  *  - exact/prefix dedup: one hash-shuffle on the content key; at
+  *    100 TB this is the canonical "groupBy(sha) keep min(id)" job.
+  *  - n-gram Jaccard: shingle-inverted-index self-join. The candidate
+  *    generation is bounded per shingle; hot shingles are the skew risk,
+  *    so the exact variant is run on a bounded slice and the scalable
+  *    path is MinHash-LSH below (band-bucket join, no quadratic blowup).
+  *  - MinHash-LSH: signatures are computed in one pass (explode →
+  *    groupBy doc), candidates come from equality joins on band
+  *    signatures — the standard sub-quadratic shape.
+  *  - SimHash: one pass to 64-bit signatures; pairs via hamming
+  *    distance over a bounded block.
+  */
+object Dedup {
+
+  /** Exact dedup: content-hash groupBy, keep the smallest doc_id.
+    * (Groups are ~all singletons on the synthetic corpus; semantics —
+    * one survivor per distinct content — are what's exercised.) */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .orderBy("keeper")
+
+  val dedupExactSql: String =
+    """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY keeper""".stripMargin
+
+  /** Prefix-key near-dedup: normalize, take the first 5 tokens as the
+    * blocking key (a cheap URL/boilerplate-style dedup key). */
+  def dedupPrefix(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        concat_ws(" ", slice(tokens(col("text")), 1, 5)).as("prefix_key"))
+      .groupBy("prefix_key")
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_docs"))
+      .orderBy("keeper")
+
+  val dedupPrefixSql: String =
+    """SELECT array_to_string(list_slice(
+      |    regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'),
+      |    1, 5), ' ') AS prefix_key,
+      |  min(doc_id) AS keeper, count(*) AS n_docs
+      |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin
+
+  /** Tokenized doc slice shared by the Jaccard paths: distinct word
+    * 3-gram shingles per document. Bounded to doc_id < 1000 so the
+    * exact-quadratic oracle work stays constant as sf grows (the
+    * scalable path is MinHash-LSH). */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 1000)
+      .select(col("doc_id"),
+        explode(array_distinct(wordShingles(tokens(col("text")), 3))).as("shingle"))
+
+  /** Exact n-gram Jaccard near-dup pairs via a shingle inverted index:
+    * explode → self-equi-join on shingle → |∩| per pair → Jaccard. */
+  def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = shingled(s, d)
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(counts.select(col("doc_id").as("a_id"), col("n_sh").as("a_n")), "a_id")
+      .join(counts.select(col("doc_id").as("b_id"), col("n_sh").as("b_n")), "b_id")
+      .withColumn("jaccard",
+        round(col("n_inter") / (col("a_n") + col("b_n") - col("n_inter")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select("a_id", "b_id", "n_inter", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
+  val ngramJaccardPairsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
+      |  FROM documents WHERE doc_id < 1000),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(t) - 2),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      |  FROM toks),
+      |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a_id, b_id, n_inter,
+      |  round(n_inter / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
+      |FROM inter
+      |  JOIN cnt ca ON ca.doc_id = a_id
+      |  JOIN cnt cb ON cb.doc_id = b_id
+      |WHERE round(n_inter / (ca.n_sh + cb.n_sh - n_inter), 6) >= 0.5
+      |ORDER BY a_id, b_id""".stripMargin
+
+  // ---- MinHash-LSH (no SQL oracle: seeded murmur3 signatures are
+  // engine-specific; the driver records a rows-only check and the
+  // ScalaTest spec validates candidates against exact Jaccard). ----
+
+  /** Fixed affine hash parameters, deterministic and bounded < 2^31 so
+    * a*h + b stays well under Long.MaxValue (ANSI mode rejects
+    * overflow). */
+  private val MinhashFuncs = 32
+  private val Bands = 8
+  private val RowsPerBand = MinhashFuncs / Bands
+  private val Prime = 2147483647L // 2^31 - 1
+  private val As: Seq[Long] =
+    (0 until MinhashFuncs).map(i => (i * 2654435761L + 1013904223L) % (Prime - 1) + 1)
+  private val Bs: Seq[Long] =
+    (0 until MinhashFuncs).map(i => (i * 805306457L + 784388323L) % Prime)
+
+  private def minhashCol(i: Int): Column =
+    min(pmod(lit(As(i)) * col("sh_hash") + lit(Bs(i)), lit(Prime))).as(s"mh_$i")
+
+  /** Per-doc 32-slot MinHash signature from murmur3 shingle hashes
+    * (hash folded into [0, p) first to bound the affine arithmetic). */
+  def minhashSignatures(s: SparkSession, d: String): DataFrame =
+    shingled(s, d)
+      .withColumn("sh_hash",
+        pmod(hash(col("shingle")).cast("long"), lit(Prime)))
+      .groupBy("doc_id")
+      .agg(minhashCol(0), (1 until MinhashFuncs).map(minhashCol): _*)
+
+  /** LSH candidate pairs: band the signature (8 bands × 4 rows), bucket
+    * docs by (band, band-hash), join within buckets, then verify with
+    * exact Jaccard ≥ 0.5 so false positives are filtered. */
+  def minhashLshPairs(s: SparkSession, d: String): DataFrame = {
+    val sig = minhashSignatures(s, d)
+    val bands = (0 until Bands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => col(s"mh_${b * RowsPerBand + r}"))
+      sig.select(col("doc_id"), lit(b).as("band"), hash(cols: _*).as("sig"))
+    }.reduce(_ union _)
+    val cand = bands.as("x")
+      .join(bands.as("y"), col("x.band") === col("y.band") &&
+        col("x.sig") === col("y.sig") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    // verify candidates against exact Jaccard (inner join keeps pairs
+    // that LSH surfaced AND that are truly near-duplicate)
+    cand.join(ngramJaccardPairs(s, d), Seq("a_id", "b_id"))
+      .select("a_id", "b_id", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** SimHash: 64-bit signature — per-token murmur3-derived bits, summed
+    * ±1 per bit position, sign → bit. One pass, no shuffle beyond the
+    * doc-level aggregate. */
+  def simhashSignatures(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .filter(col("doc_id") < 1000)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"bit_$i")
+    }
+    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { i =>
+      when(col(s"bit_$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("doc_id"), sig.as("simhash")).orderBy("doc_id")
+  }
+
+  /** SimHash near-dup pairs: hamming distance ≤ 6 over the bounded
+    * block (at scale: band the 64 bits into 4×16-bit keys and
+    * equality-join — same trick as MinHash bands). */
+  def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sig = simhashSignatures(s, d)
+    sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
+      .filter(col("hamming") <= 6)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"), col("hamming"))
+      .orderBy("a_id", "b_id")
+  }
+
+  val all: Seq[GQuery] = Seq(
+    GQuery("q30_dedup_exact", dedupExact, Some(dedupExactSql)),
+    GQuery("q31_dedup_prefix", dedupPrefix, Some(dedupPrefixSql)),
+    GQuery("q32_ngram_jaccard_pairs", ngramJaccardPairs, Some(ngramJaccardPairsSql)),
+    GQuery("q33_minhash_lsh_pairs", minhashLshPairs, None),
+    GQuery("q34_simhash_pairs", simhashPairs, None))
+}

@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.core.{GQuery, Tables}
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (array<float>, 64-d).
+  *
+  * Scale posture:
+  *  - brute-force top-k broadcasts the (small) query set and streams
+  *    the candidate corpus once — linear in corpus size, the correct
+  *    baseline at any scale when the query set is small;
+  *  - the IVF variant is the sub-linear path: one pass to assign each
+  *    vector to its nearest centroid (broadcast codebook), candidates
+  *    are then restricted to the probed buckets — at 100 TB the bucket
+  *    assignment becomes the partitioning key so probes touch only
+  *    matching partitions;
+  *  - near-dup pairs are blocked by `label` (any cheap blocking key)
+  *    to avoid the quadratic cross join.
+  *
+  * All vector math is codegen'd higher-order functions over
+  * array<double> (see VectorFunctions) — no UDF, no UDT.
+  */
+object Similarity {
+
+  private val K = 5
+  private val NQueries = 10
+
+  /** Brute-force exact top-k cosine neighbors for a fixed query set. */
+  def knnBruteForce(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+    val queries = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val cands = emb.filter(col("vec_id") >= NQueries)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
+    cands.join(broadcast(queries))
+      .withColumn("sim", cosineRounded(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select("q_id", "rank", "c_id", "sim")
+      .orderBy("q_id", "rank")
+  }
+
+  val knnBruteForceSql: String =
+    s"""SELECT q_id, rank, c_id, sim FROM (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS sim,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) DESC,
+       |      c.vec_id) AS rank
+       |  FROM embeddings q CROSS JOIN embeddings c
+       |  WHERE q.vec_id < $NQueries AND c.vec_id >= $NQueries)
+       |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+
+  /** Embedding-cosine near-duplicate pairs, blocked by label to keep
+    * candidate generation sub-quadratic; bounded slice so the exact
+    * oracle stays constant-cost as sf grows. */
+  def embeddingNearDup(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .filter(col("vec_id") < 2000)
+      .select(col("vec_id"), col("label"), toDoubleArray(col("embedding")).as("v"))
+    emb.as("a")
+      .join(emb.as("b"), col("a.label") === col("b.label") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", cosineRounded(col("a.v"), col("b.v")))
+      .filter(col("sim") >= 0.35)
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        col("a.label").as("label"), col("sim"))
+      .orderBy("a_id", "b_id")
+  }
+
+  val embeddingNearDupSql: String =
+    """SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label,
+      |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+      |FROM embeddings a JOIN embeddings b
+      |  ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE a.vec_id < 2000 AND b.vec_id < 2000
+      |  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.35
+      |ORDER BY a_id, b_id""".stripMargin
+
+  /** IVF-style approximate NN: codebook = vectors 0..7, assign every
+    * vector to its nearest centroid (broadcast join, one pass), then
+    * probe the query's 2 nearest buckets only. No oracle — approximate
+    * by construction; the spec checks recall against brute force. */
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("v").as("centv"))
+    val simToCent = emb.join(broadcast(centroids))
+      .withColumn("csim", cosine(col("v"), col("centv")))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
+    val assigned = simToCent
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") <= 2) // rank 1 = home bucket; 1..2 = probe set
+    val buckets = assigned.filter(col("crank") === 1)
+      .select(col("vec_id").as("c_id"), col("cent_id").as("bucket"), col("v").as("cv"))
+    val probes = assigned.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("cent_id").as("bucket"), col("v").as("qv"))
+    val wTop = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
+    buckets.join(broadcast(probes), "bucket")
+      .filter(col("c_id") =!= col("q_id") && col("c_id") >= NQueries)
+      .withColumn("sim", cosineRounded(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= K)
+      .select("q_id", "rank", "c_id", "sim")
+      .orderBy("q_id", "rank")
+  }
+
+  val all: Seq[GQuery] = Seq(
+    GQuery("q35_knn_bruteforce", knnBruteForce, Some(knnBruteForceSql)),
+    GQuery("q36_embedding_neardup", embeddingNearDup, Some(embeddingNearDupSql)),
+    GQuery("q37_ann_ivf", annIvf, None))
+}
