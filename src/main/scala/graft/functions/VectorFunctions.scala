@@ -2,12 +2,17 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.{ColumnBridge, DotProductExpr}
 
-/** Dense-vector math over Array[Float]/Array[Double] columns using
-  * codegen'd higher-order functions (`zip_with` + `aggregate`), so
-  * similarity search needs no UDF and no UDT. Element folds run in
-  * index order, which keeps double arithmetic bit-deterministic across
-  * runs and engines.
+/** Dense-vector math over Array[Float]/Array[Double] columns. The dot
+  * product — the only per-element kernel — is a custom codegen'd
+  * Catalyst expression (DotProductExpr); everything else composes it.
+  * Element folds run in index order, which keeps double arithmetic
+  * bit-deterministic across runs and engines.
+  *
+  * Join-side callers should pre-normalize (or pre-compute `norm2`)
+  * once per ROW before the join so the per-PAIR work is a single dot:
+  * see graft.operators.Similarity.
   */
 object VectorFunctions {
 
@@ -15,12 +20,15 @@ object VectorFunctions {
     * float accumulation is both lossy and engine-dependent. */
   def toDoubleArray(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** Codegen'd dot product (index-ordered fold, bit-deterministic). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    ColumnBridge.column(
+      DotProductExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity of two array<double> columns. */
+  /** Cosine similarity of two array<double> columns. Prefer the
+    * precomputed-norm form in joins. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
 
   /** Cosine rounded to `scale` decimals — the form used in oracle-backed
