@@ -4,6 +4,7 @@ import graft.core.{GQuery, Tables}
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators over `documents` — the exact and near-dup
   * families a pretraining-data pipeline runs at corpus scale.
@@ -18,8 +19,9 @@ import org.apache.spark.sql.functions._
   *  - MinHash-LSH: signatures are computed in one pass (explode →
   *    groupBy doc), candidates come from equality joins on band
   *    signatures — the standard sub-quadratic shape.
-  *  - SimHash: one pass to 64-bit signatures; pairs via hamming
-  *    distance over a bounded block.
+  *  - SimHash: one pass to 64-bit signatures; pairs via 8×8-bit band
+  *    equality-joins + hamming filter — exact for hamming ≤ 6 by
+  *    pigeonhole, never a nested-loop cartesian.
   */
 object Dedup {
 
@@ -54,19 +56,22 @@ object Dedup {
       |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin
 
   /** Tokenized doc slice shared by the Jaccard paths: distinct word
-    * 3-gram shingles per document. Bounded to doc_id < 1000 so the
+    * 3-gram shingles per document. `maxDocId` bounds the slice so the
     * exact-quadratic oracle work stays constant as sf grows (the
-    * scalable path is MinHash-LSH). */
-  private def shingled(s: SparkSession, d: String): DataFrame =
+    * scalable path is MinHash-LSH) — an oracle-harness knob supplied
+    * at the call site, not part of the operator semantics. */
+  private def shingled(s: SparkSession, d: String,
+                       maxDocId: Long = 1000L): DataFrame =
     Tables.documents(s, d)
-      .filter(col("doc_id") < 1000)
+      .filter(col("doc_id") < maxDocId)
       .select(col("doc_id"),
         explode(array_distinct(wordShingles(tokens(col("text")), 3))).as("shingle"))
 
   /** Exact n-gram Jaccard near-dup pairs via a shingle inverted index:
     * explode → self-equi-join on shingle → |∩| per pair → Jaccard. */
-  def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = shingled(s, d)
+  def ngramJaccardPairs(s: SparkSession, d: String,
+                        maxDocId: Long = 1000L): DataFrame = {
+    val sh = shingled(s, d, maxDocId)
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
@@ -107,8 +112,8 @@ object Dedup {
       |ORDER BY a_id, b_id""".stripMargin
 
   // ---- MinHash-LSH (no SQL oracle: seeded murmur3 signatures are
-  // engine-specific; the driver records a rows-only check and the
-  // ScalaTest spec validates candidates against exact Jaccard). ----
+  // engine-specific; the driver records a rows-only check and
+  // DedupSpec validates the pair set against exact Jaccard). ----
 
   /** Fixed affine hash parameters, deterministic and bounded < 2^31 so
     * a*h + b stays well under Long.MaxValue (ANSI mode rejects
@@ -127,8 +132,9 @@ object Dedup {
 
   /** Per-doc 32-slot MinHash signature from murmur3 shingle hashes
     * (hash folded into [0, p) first to bound the affine arithmetic). */
-  def minhashSignatures(s: SparkSession, d: String): DataFrame =
-    shingled(s, d)
+  def minhashSignatures(s: SparkSession, d: String,
+                        maxDocId: Long = 1000L): DataFrame =
+    shingled(s, d, maxDocId)
       .withColumn("sh_hash",
         pmod(hash(col("shingle")).cast("long"), lit(Prime)))
       .groupBy("doc_id")
@@ -136,21 +142,44 @@ object Dedup {
 
   /** LSH candidate pairs: band the signature (8 bands × 4 rows), bucket
     * docs by (band, band-hash), join within buckets, then verify with
-    * exact Jaccard ≥ 0.5 so false positives are filtered. */
-  def minhashLshPairs(s: SparkSession, d: String): DataFrame = {
-    val sig = minhashSignatures(s, d)
-    val bands = (0 until Bands).map { b =>
+    * exact Jaccard ≥ 0.5 so false positives are filtered.
+    *
+    * Scale shape: the signature frame (1 row/doc, tiny next to the
+    * corpus) is persisted so the band self-join doesn't recompute the
+    * shingle aggregate per side; all 8 band keys come from ONE explode
+    * over that frame; and verification joins only the surfaced
+    * candidates back to their shingle sets — the exact-quadratic
+    * all-pairs set is never materialized on this path. */
+  def minhashLshPairs(s: SparkSession, d: String,
+                      maxDocId: Long = 1000L): DataFrame = {
+    val sig = minhashSignatures(s, d, maxDocId)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bandStructs = array((0 until Bands).map { b =>
       val cols = (0 until RowsPerBand).map(r => col(s"mh_${b * RowsPerBand + r}"))
-      sig.select(col("doc_id"), lit(b).as("band"), hash(cols: _*).as("sig"))
-    }.reduce(_ union _)
+      struct(lit(b).as("band"), hash(cols: _*).as("sig"))
+    }: _*)
+    val bands = sig.select(col("doc_id"), explode(bandStructs).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     val cand = bands.as("x")
       .join(bands.as("y"), col("x.band") === col("y.band") &&
         col("x.sig") === col("y.sig") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    // verify candidates against exact Jaccard (inner join keeps pairs
-    // that LSH surfaced AND that are truly near-duplicate)
-    cand.join(ngramJaccardPairs(s, d), Seq("a_id", "b_id"))
+    // verify ONLY the candidates: join each side back to its shingle
+    // set, count the intersection, and Jaccard-filter ≥ 0.5.
+    val sh = shingled(s, d, maxDocId)
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = broadcast(cand)
+      .join(sh.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("shingle")), Seq("b_id", "shingle"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(counts.select(col("doc_id").as("a_id"), col("n_sh").as("a_n")), "a_id")
+      .join(counts.select(col("doc_id").as("b_id"), col("n_sh").as("b_n")), "b_id")
+      .withColumn("jaccard",
+        round(col("n_inter") / (col("a_n") + col("b_n") - col("n_inter")), 6))
+      .filter(col("jaccard") >= 0.5)
       .select("a_id", "b_id", "jaccard")
       .orderBy("a_id", "b_id")
   }
@@ -158,9 +187,10 @@ object Dedup {
   /** SimHash: 64-bit signature — per-token murmur3-derived bits, summed
     * ±1 per bit position, sign → bit. One pass, no shuffle beyond the
     * doc-level aggregate. */
-  def simhashSignatures(s: SparkSession, d: String): DataFrame = {
+  def simhashSignatures(s: SparkSession, d: String,
+                        maxDocId: Long = 1000L): DataFrame = {
     val tok = Tables.documents(s, d)
-      .filter(col("doc_id") < 1000)
+      .filter(col("doc_id") < maxDocId)
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val bitSums = (0 until 64).map { i =>
@@ -170,25 +200,41 @@ object Dedup {
     val sig = (0 until 64).map { i =>
       when(col(s"bit_$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
     }.reduce((a, b) => a.bitwiseOR(b))
-    agg.select(col("doc_id"), sig.as("simhash")).orderBy("doc_id")
+    agg.select(col("doc_id"), sig.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: hamming distance ≤ 6 over the bounded
-    * block (at scale: band the 64 bits into 4×16-bit keys and
-    * equality-join — same trick as MinHash bands). */
-  def simhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sig = simhashSignatures(s, d)
-    sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
-      .withColumn("hamming", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
+  private val SimhashBands = 8 // 8 bands × 8 bits
+
+  /** SimHash near-dup pairs at hamming ≤ 6, via banding: split the 64
+    * bits into 8×8-bit keys and equality-join on (band, key). Any pair
+    * within hamming ≤ 7 differs in at most 7 bands, so by pigeonhole it
+    * collides on at least one — the banded candidate set is EXACTLY the
+    * cartesian hamming ≤ 6 pair set (DedupSpec proves equality), with
+    * no BroadcastNestedLoopJoin anywhere in the plan. */
+  def simhashPairs(s: SparkSession, d: String,
+                   maxDocId: Long = 1000L): DataFrame = {
+    val sig = simhashSignatures(s, d, maxDocId)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bandKeys = array((0 until SimhashBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * 8).bitwiseAND(0xFFL).as("key"))
+    }: _*)
+    val banded = sig.select(col("doc_id"), col("simhash"), explode(bandKeys).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band") &&
+        col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .filter(col("hamming") <= 6)
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"), col("hamming"))
+      .distinct()
       .orderBy("a_id", "b_id")
   }
 
   val all: Seq[GQuery] = Seq(
     GQuery("q30_dedup_exact", dedupExact, Some(dedupExactSql)),
     GQuery("q31_dedup_prefix", dedupPrefix, Some(dedupPrefixSql)),
-    GQuery("q32_ngram_jaccard_pairs", ngramJaccardPairs, Some(ngramJaccardPairsSql)),
-    GQuery("q33_minhash_lsh_pairs", minhashLshPairs, None),
-    GQuery("q34_simhash_pairs", simhashPairs, None))
+    GQuery("q32_ngram_jaccard_pairs", (s, d) => ngramJaccardPairs(s, d), Some(ngramJaccardPairsSql)),
+    GQuery("q33_minhash_lsh_pairs", (s, d) => minhashLshPairs(s, d), None),
+    GQuery("q34_simhash_pairs", (s, d) => simhashPairs(s, d), None))
 }

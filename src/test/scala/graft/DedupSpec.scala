@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Proves the sub-quadratic dedup paths compute the SAME pair sets as
+  * their exact counterparts on the sf0.001 corpus.
+  */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sfDir
+
+  test("MinHash-LSH pair set equals exact n-gram Jaccard >= 0.5 pairs") {
+    val exact = Dedup.ngramJaccardPairs(spark, sf)
+      .select("a_id", "b_id", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Dedup.minhashLshPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // LSH verifies candidates with the same exact-Jaccard predicate, so
+    // lsh ⊆ exact always; equality additionally shows 100% recall here.
+    assert(lsh.subsetOf(exact))
+    assert(lsh === exact)
+  }
+
+  test("banded SimHash pairs equal the cartesian hamming<=6 pair set") {
+    val sig = Dedup.simhashSignatures(spark, sf)
+    val cartesian = sig.as("a")
+      .join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .filter(col("hamming") <= 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val banded = Dedup.simhashPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded === cartesian)
+  }
+
+  test("banded SimHash plan contains no nested-loop join") {
+    val plan = Dedup.simhashPairs(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("exact dedup keeps one survivor per distinct content") {
+    val docs = core.Tables.documents(spark, sf)
+    val total = docs.count()
+    val dd = Dedup.dedupExact(spark, sf)
+    assert(dd.agg(sum("n_copies")).head().getLong(0) === total)
+    assert(dd.select("keeper").distinct().count() === dd.count())
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** clean_text parity with the reference's unit-tested goldens
+  * (reference src/unit_tests/test_utils.py:8-21) plus kernel
+  * properties the reference relies on implicitly.
+  */
+class TextFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def clean(raw: String): String =
+    Seq(raw).toDF("t").select(TextFunctions.cleanText(col("t"))).as[String].head()
+
+  test("clean_text removes urls, mentions, hashtags (golden)") {
+    assert(clean("Check this out http://example.com @user #awesome") ===
+      "check this out")
+  }
+
+  test("clean_text removes punctuation and lowercases (golden)") {
+    assert(clean("Hello, WORLD!!! How's it going?") ===
+      "hello world hows it going")
+  }
+
+  test("clean_text strips all leading/trailing whitespace incl tab+newline (golden)") {
+    assert(clean("    Text with spaces\t\n") === "text with spaces")
+  }
+
+  test("clean_text handles www URLs and keeps interior spacing intact") {
+    assert(clean("go www.example.org now") === "go  now")
+  }
+
+  test("clean_text is idempotent over the corpus sample") {
+    val docs = core.Tables.documents(spark, TestSpark.sfDir).limit(200)
+    val once = TextFunctions.cleanText(col("text"))
+    val twice = TextFunctions.cleanText(once)
+    assert(docs.filter(not(once <=> twice)).count() === 0L)
+  }
+
+  test("punctuation constant is exactly Python string.punctuation (32 chars)") {
+    assert(TextFunctions.asciiPunctuation.length === 32)
+    assert(TextFunctions.asciiPunctuation ===
+      (33 to 126).map(_.toChar).filterNot(_.isLetterOrDigit).mkString)
+  }
+
+  test("sentiment decode maps 1/0/else (reference src/predict.py:84-92)") {
+    val out = Seq(1, 0, 7).toDF("p")
+      .select(TextFunctions.decodeSentiment(col("p"))).as[String].collect()
+    assert(out === Array("Positive sentiment", "Negative sentiment", "Unknown sentiment"))
+  }
+
+  test("word shingles: short docs yield empty array, not an error") {
+    val out = Seq("one two", "a b c d").toDF("t")
+      .select(TextFunctions.wordShingles(TextFunctions.tokens(col("t")), 3))
+      .as[Seq[String]].collect()
+    assert(out(0) === Seq.empty)
+    assert(out(1) === Seq("a b c", "b c d"))
+  }
+}
