@@ -7,8 +7,21 @@ import org.apache.spark.sql.SparkSession
   * prints ONE JSON line {"metric":...}. Each query is executed fully
   * through a noop sink (count() would let Catalyst prune the plan to a
   * row-count over the scan, which is not the work being measured).
+  *
+  * Per query: one untimed warmup (JIT/codegen/scan cache), then REPS
+  * timed runs; the reported per-query number is the MEDIAN, with the
+  * min alongside in `queries_min`. The cache is cleared between
+  * queries so one query's persisted frames can't tax the next. A
+  * failed query lands in `errors` instead of masquerading as a timing.
   */
 object Bench {
+  private val Reps = 3
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s(s.length / 2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = GraftSession.defaultCpus
@@ -16,23 +29,43 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val headline = SparkEntry.inventory.filter(_.bench)
-    // one warmup pass of the first query amortizes JVM/codegen startup
-    headline.headOption.foreach { q =>
-      try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-    }
-    val results = headline.map { q =>
-      val t0 = System.nanoTime()
-      try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+    val medians = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val mins = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+    headline.foreach { q =>
+      def once(): Unit =
+        q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try {
+        once() // warmup, untimed
+        val times = (1 to Reps).map { _ =>
+          val t0 = System.nanoTime()
+          once()
+          (System.nanoTime() - t0) / 1e9
+        }
+        medians(q.name) = median(times)
+        mins(q.name) = times.min
+      } catch {
+        case e: Throwable =>
+          errors(q.name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+          System.err.println(s"[bench] ${q.name} failed: ${errors(q.name)}")
       }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      // a query that persists frames must not bill the next one
+      spark.catalog.clearCache()
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    def jnum(m: collection.Map[String, Double]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    def jstr(m: collection.Map[String, String]): String =
+      m.map { case (k, v) =>
+        "\"" + k + "\":\"" + v.replaceAll("[\\\\\"\\n\\r\\t]", " ").take(120) + "\""
+      }.mkString("{", ",", "}")
+
+    val total = medians.values.sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,""" +
+        s""""queries":${jnum(medians)},"queries_min":${jnum(mins)},""" +
+        s""""errors":${jstr(errors)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
