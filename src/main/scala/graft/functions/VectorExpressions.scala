@@ -15,10 +15,13 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * PAIR (q35/q36 similarity joins). This expression emits a tight
   * primitive loop inside WholeStageCodegen instead.
   *
-  * The fold runs in index order with a plain `+=`, exactly the
-  * arithmetic sequence of the HOF spelling, so results are
-  * bit-identical to the previous implementation (oracle parity keeps
-  * holding at round(…, 4)).
+  * The fold runs in index order with a plain `+=` on equal-length
+  * inputs, exactly the arithmetic sequence of the HOF spelling, so
+  * results match it bit-for-bit there (oracle parity keeps holding at
+  * round(…, 4)). On UNEQUAL lengths the HOF spelling null-pads the
+  * short side (`zip_with` → null product → null sum), so this
+  * expression returns null too — a silent min-length truncation would
+  * turn a malformed embedding into a plausible number.
   */
 case class DotProductExpr(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
@@ -28,16 +31,22 @@ case class DotProductExpr(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var s = 0.0
-    var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
-    s
+    val n = x.numElements()
+    if (n != y.numElements()) {
+      null
+    } else {
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+      s
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -46,12 +55,16 @@ case class DotProductExpr(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

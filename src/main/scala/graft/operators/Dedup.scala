@@ -4,7 +4,6 @@ import graft.core.{GQuery, Tables}
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators over `documents` — the exact and near-dup
   * families a pretraining-data pipeline runs at corpus scale.
@@ -144,16 +143,18 @@ object Dedup {
     * docs by (band, band-hash), join within buckets, then verify with
     * exact Jaccard ≥ 0.5 so false positives are filtered.
     *
-    * Scale shape: the signature frame (1 row/doc, tiny next to the
-    * corpus) is persisted so the band self-join doesn't recompute the
-    * shingle aggregate per side; all 8 band keys come from ONE explode
-    * over that frame; and verification joins only the surfaced
-    * candidates back to their shingle sets — the exact-quadratic
-    * all-pairs set is never materialized on this path. */
+    * Scale shape: all 8 band keys come from ONE explode over the
+    * signature frame (1 row/doc, tiny next to the corpus); the band
+    * self-join's two sides are the identical subplan, so Spark's
+    * ReuseExchange computes the shuffle once — no persist() needed, and
+    * nothing leaks into the session cache across invocations
+    * (persist-without-unpersist here previously accumulated a cached
+    * copy per call). Verification joins only the surfaced candidates
+    * back to their shingle sets — the exact-quadratic all-pairs set is
+    * never materialized on this path. */
   def minhashLshPairs(s: SparkSession, d: String,
                       maxDocId: Long = 1000L): DataFrame = {
     val sig = minhashSignatures(s, d, maxDocId)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val bandStructs = array((0 until Bands).map { b =>
       val cols = (0 until RowsPerBand).map(r => col(s"mh_${b * RowsPerBand + r}"))
       struct(lit(b).as("band"), hash(cols: _*).as("sig"))
@@ -214,7 +215,6 @@ object Dedup {
   def simhashPairs(s: SparkSession, d: String,
                    maxDocId: Long = 1000L): DataFrame = {
     val sig = simhashSignatures(s, d, maxDocId)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val bandKeys = array((0 until SimhashBands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * 8).bitwiseAND(0xFFL).as("key"))

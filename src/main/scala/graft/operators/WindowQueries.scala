@@ -89,11 +89,15 @@ object WindowQueries {
        |FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin
 
   /** Running per-user cumulative value + event index over time — the
-    * ordered-window face (frame = unbounded preceding). */
-  def runningTotals(s: SparkSession, d: String): DataFrame = {
+    * ordered-window face (frame = unbounded preceding). `maxUserId`
+    * bounds the slice so the oracle's row count stays constant as sf
+    * grows — an oracle-harness knob like Dedup's `maxDocId`, not part
+    * of the operator semantics. */
+  def runningTotals(s: SparkSession, d: String,
+                    maxUserId: Long = 20L): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
     Tables.events(s, d)
-      .filter(col("user_id") < 20)
+      .filter(col("user_id") < maxUserId)
       .withColumn("ts_us", unix_micros(col("ts")))
       .withColumn("idx", row_number().over(byUser).cast("long"))
       .withColumn("cum_value",
@@ -118,5 +122,5 @@ object WindowQueries {
     GQuery("q40_tumbling_hourly", tumblingHourly, Some(tumblingHourlySql)),
     GQuery("q41_sliding_two_hour", slidingTwoHour, Some(slidingTwoHourSql)),
     GQuery("q42_sessionize", sessionize, Some(sessionizeSql)),
-    GQuery("q43_running_totals", runningTotals, Some(runningTotalsSql)))
+    GQuery("q43_running_totals", (s, d) => runningTotals(s, d), Some(runningTotalsSql)))
 }

@@ -18,9 +18,14 @@ class DedupSpec extends AnyFunSuite {
     val lsh = Dedup.minhashLshPairs(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     // LSH verifies candidates with the same exact-Jaccard predicate, so
-    // lsh ⊆ exact always; equality additionally shows 100% recall here.
+    // lsh ⊆ exact always (zero false positives by construction). Recall
+    // is probabilistic in the banding, so assert a floor rather than
+    // exact equality — a corpus change must not read as a code bug.
     assert(lsh.subsetOf(exact))
-    assert(lsh === exact)
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      assert(recall >= 0.95, s"LSH recall $recall (${lsh.size}/${exact.size})")
+    }
   }
 
   test("banded SimHash pairs equal the cartesian hamming<=6 pair set") {
