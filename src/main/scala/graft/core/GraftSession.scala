@@ -24,11 +24,16 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // the synthetic events table carries parquet TIMESTAMP(NANOS);
-      // Spark has no nanos TimestampType, so read them as raw longs and
-      // normalize in Tables.events (truncation to micros matches what
-      // any micro-precision engine sees).
+      // the synthetic events table has carried parquet TIMESTAMP(NANOS)
+      // in some generations and TIMESTAMP(MICROS, isAdjustedToUTC=false)
+      // in others. Nanos: Spark has no nanos TimestampType, so read them
+      // as raw longs and normalize in Tables.events. Micros without UTC
+      // adjustment: Spark ≥3.4 infers TIMESTAMP_NTZ by default, which
+      // unix_micros()/to_utc conversions reject — disable the inference
+      // so the column scans as plain TimestampType whose epoch-micros
+      // match what DuckDB's epoch_us sees (session tz is pinned UTC).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
   def local(): SparkSession = {
     val s = builder().getOrCreate()
