@@ -52,8 +52,7 @@ object TextFunctions {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
-  /** Tiny embedded stopword list for quality scoring (not the model
-    * pipeline's list — that one ships sklearn's 318 words, see ml/). */
+  /** Tiny embedded stopword list for quality scoring. */
   val qualityStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
@@ -69,14 +68,15 @@ object TextFunctions {
     * so it doubles as the exact-dedup key. */
   def fingerprint(c: Column): Column = md5(cleanText(c))
 
-  /** Word n-gram shingles from a token array (1-based element_at).
-    * Guarded so short docs yield an empty array instead of a negative
-    * `sequence` range. */
+  /** Word n-gram shingles from a token array. Codegen'd tight loop
+    * (graftbridge.WordShinglesExpr) — the HOF spelling
+    * (transform + sequence + element_at + concat_ws) is interpreted
+    * CodegenFallback and dominated the dedup queries; output is
+    * identical, short/NULL docs yield an empty array. */
   def wordShingles(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
-      .otherwise(array())
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      org.apache.spark.sql.graftbridge.WordShinglesExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(toks), n))
 
   /** Language-marker hit count: number of whole-word matches of any of
     * the marker words. */

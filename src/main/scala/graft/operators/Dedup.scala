@@ -59,19 +59,34 @@ object Dedup {
     * exact-quadratic oracle work stays constant as sf grows (the
     * scalable path is MinHash-LSH) — an oracle-harness knob supplied
     * at the call site, not part of the operator semantics. */
-  private def shingled(s: SparkSession, d: String,
-                       maxDocId: Long = 1000L): DataFrame =
+  private def withShingleArr(s: SparkSession, d: String,
+                             maxDocId: Long): DataFrame =
     Tables.documents(s, d)
       .filter(col("doc_id") < maxDocId)
       .select(col("doc_id"),
-        explode(array_distinct(wordShingles(tokens(col("text")), 3))).as("shingle"))
+        array_distinct(wordShingles(tokens(col("text")), 3)).as("sh_arr"))
+
+  private def shingled(s: SparkSession, d: String,
+                       maxDocId: Long = 1000L): DataFrame =
+    withShingleArr(s, d, maxDocId)
+      .select(col("doc_id"), explode(col("sh_arr")).as("shingle"))
+
+  /** |shingle set| per doc, straight off the array — identical to
+    * exploding and re-aggregating (explode drops empty-array docs; so
+    * does the n_sh > 0 filter) but with no groupBy shuffle and no
+    * second evaluation of the shingle pipeline. */
+  private def shingleCounts(s: SparkSession, d: String,
+                            maxDocId: Long): DataFrame =
+    withShingleArr(s, d, maxDocId)
+      .select(col("doc_id"), size(col("sh_arr")).cast("long").as("n_sh"))
+      .filter(col("n_sh") > 0)
 
   /** Exact n-gram Jaccard near-dup pairs via a shingle inverted index:
     * explode → self-equi-join on shingle → |∩| per pair → Jaccard. */
   def ngramJaccardPairs(s: SparkSession, d: String,
                         maxDocId: Long = 1000L): DataFrame = {
     val sh = shingled(s, d, maxDocId)
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val counts = shingleCounts(s, d, maxDocId)
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -167,10 +182,13 @@ object Dedup {
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
     // verify ONLY the candidates: join each side back to its shingle
-    // set, count the intersection, and Jaccard-filter ≥ 0.5.
+    // set, count the intersection, and Jaccard-filter ≥ 0.5. No
+    // broadcast hint on cand: AQE sees the candidate stage's real size
+    // and broadcasts when it fits — an unconditional hint would OOM
+    // the driver if candidates ever blow up at corpus scale.
     val sh = shingled(s, d, maxDocId)
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = broadcast(cand)
+    val counts = shingleCounts(s, d, maxDocId)
+    val inter = cand
       .join(sh.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("shingle")), Seq("b_id", "shingle"))
       .groupBy("a_id", "b_id")

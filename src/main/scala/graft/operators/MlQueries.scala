@@ -8,8 +8,7 @@ import org.apache.spark.sql.functions._
   * confusion matrix and classification report as relational
   * aggregations, exercised over a deterministic pseudo-prediction
   * (vec_id mod 10 against the embeddings label) so the DuckDB oracle
-  * can replay them exactly. The real model path (NaiveBayes transform)
-  * reuses these same queries in graft.ml.
+  * can replay them exactly.
   */
 object MlQueries {
 

@@ -5,6 +5,7 @@ import graft.core.QueryUtils._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Relational operator inventory (SURVEY.md §2.6 Q1–Q8 re-expressed
   * over the synthetic star schema, plus the scan/filter/join/window/
@@ -93,24 +94,35 @@ object Relational {
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
   /** Flagship: star join region⋈nation⋈customer⋈orders⋈lineitem →
-    * revenue per nation (TPC-H Q5 shape). Dimensions broadcast; the
-    * orders⋈lineitem fact join shuffles on the order key. */
+    * revenue per nation (TPC-H Q5 shape). Dimensions broadcast.
+    *
+    * Lineitem is pre-aggregated per order key BEFORE the fact-fact
+    * join (guide §2.3 "aggregate before you shuffle"): the order-key
+    * exchange then carries one decimal per order instead of every
+    * lineitem row, and count(DISTINCT o_orderkey) — which costs an
+    * extra Expand + exchange — becomes a plain count(*) because each
+    * joined order appears exactly once. The per-order partial sums are
+    * exact decimals, so summing the sums and rounding once at the end
+    * is bit-identical to the flat spelling the oracle runs. */
   def revenueByNation(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
+    val liPerOrder = Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(28, 10))).as("rev"))
     val o = Tables.orders(s, d)
       .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
         col("o_orderdate") < to_timestamp(lit("1999-01-01")))
     val c = Tables.customer(s, d)
     val n = Tables.nation(s, d)
     val r = Tables.region(s, d)
-    li.join(o, col("l_orderkey") === col("o_orderkey"))
+    liPerOrder.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
       .agg(
-        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
-        countDistinct(col("o_orderkey")).as("n_orders"))
+        round(sum(col("rev")).cast("double"), 4).as("revenue"),
+        count(lit(1)).as("n_orders"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -273,14 +285,18 @@ object Relational {
       |  count(*) FILTER (WHERE l_linestatus = 'O') AS n_o
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
-  /** Orders above their customer's mean order value — the decorrelated
-    * form (aggregate once, broadcast-join back) rather than a per-row
-    * correlated subquery. */
+  /** Orders above their customer's mean order value. Spelled as a
+    * whole-partition window over o_custkey rather than aggregate +
+    * self-join (guide §2.4): one scan and one exchange instead of two
+    * scans, an aggregation exchange and a join. The arithmetic
+    * (exact decimal sum / count, rounded to 6) is davg's, so values
+    * are bit-identical to the oracle's decorrelated subquery. */
   def aboveAvgOrders(s: SparkSession, d: String): DataFrame = {
-    val o = Tables.orders(s, d)
-    val avgPer = o.groupBy(col("o_custkey").as("ck"))
-      .agg(davg(col("o_totalprice")).as("cust_avg"))
-    o.join(avgPer, col("o_custkey") === col("ck"))
+    val w = Window.partitionBy("o_custkey")
+    Tables.orders(s, d)
+      .withColumn("cust_avg",
+        round(sum(col("o_totalprice").cast(DecimalType(28, 10))).over(w)
+          .cast("double") / count(lit(1)).over(w), 6))
       .filter(col("o_totalprice") > col("cust_avg"))
       .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
       .orderBy("o_orderkey")

@@ -82,12 +82,17 @@ object TextQueries {
   /** Quality scoring: stopword ratio, mean token length, bucketing —
     * the length/punct/stopword heuristics of a pretraining filter. */
   def qualityScore(s: SparkSession, d: String): DataFrame = {
-    val toks = tokens(col("text"))
+    // tokenize ONCE: the three stat columns all consume the same token
+    // array, and inlining tokens() into each would re-run the two
+    // strip/split regexes three times per row (CollapseProject keeps
+    // the two-level projection because the alias is non-cheap and
+    // referenced three times)
     Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        size(toks).cast("long").as("n_tokens"),
-        stopwordCount(toks).cast("long").as("n_stop"),
-        tokenCharSum(toks).cast("long").as("char_sum"))
+        size(col("toks")).cast("long").as("n_tokens"),
+        stopwordCount(col("toks")).cast("long").as("n_stop"),
+        tokenCharSum(col("toks")).cast("long").as("char_sum"))
       .withColumn("stop_ratio", round(col("n_stop") / col("n_tokens"), 6))
       .withColumn("avg_token_len", round(col("char_sum") / col("n_tokens"), 6))
       .withColumn("quality",

@@ -7,10 +7,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-time window operators over `events` — the batch-expressible
-  * faces of the streaming inventory (SURVEY.md §2.7). The same
-  * `window()`/aggregation expressions are reused verbatim by the
-  * Structured Streaming entry points in graft.streaming; here they run
-  * as batch queries so the DuckDB oracle can replay them.
+  * faces of the streaming inventory (SURVEY.md §2.7), run as batch
+  * queries so the DuckDB oracle can replay them. (The same
+  * `window()`/aggregation expressions would drop into a Structured
+  * Streaming readStream unchanged; no streaming entry point ships.)
   *
   * Event timestamps are emitted as epoch micros (unix_micros /
   * epoch_us) where raw, so nanosecond- and micro-precision engines
@@ -93,8 +93,10 @@ object WindowQueries {
     * bounds the slice so the oracle's row count stays constant as sf
     * grows — an oracle-harness knob like Dedup's `maxDocId`, not part
     * of the operator semantics. */
+  private val DefaultMaxUserId = 20L
+
   def runningTotals(s: SparkSession, d: String,
-                    maxUserId: Long = 20L): DataFrame = {
+                    maxUserId: Long = DefaultMaxUserId): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
     Tables.events(s, d)
       .filter(col("user_id") < maxUserId)
@@ -108,15 +110,17 @@ object WindowQueries {
       .orderBy("user_id", "idx")
   }
 
+  // the oracle replays the DEFAULT slice; sharing the constant keeps a
+  // non-default maxUserId call from silently desyncing from this SQL
   val runningTotalsSql: String =
-    """SELECT user_id, row_number() OVER w AS idx, event_id,
-      |  epoch_us(ts) AS ts_us,
-      |  round(sum(value::DECIMAL(28,10)) OVER (PARTITION BY user_id
-      |    ORDER BY epoch_us(ts), event_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE, 4) AS cum_value
-      |FROM events WHERE user_id < 20
-      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
-      |ORDER BY user_id, idx""".stripMargin
+    s"""SELECT user_id, row_number() OVER w AS idx, event_id,
+       |  epoch_us(ts) AS ts_us,
+       |  round(sum(value::DECIMAL(28,10)) OVER (PARTITION BY user_id
+       |    ORDER BY epoch_us(ts), event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE, 4) AS cum_value
+       |FROM events WHERE user_id < $DefaultMaxUserId
+       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+       |ORDER BY user_id, idx""".stripMargin
 
   val all: Seq[GQuery] = Seq(
     GQuery("q40_tumbling_hourly", tumblingHourly, Some(tumblingHourlySql)),

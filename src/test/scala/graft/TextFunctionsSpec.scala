@@ -52,6 +52,32 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(out === Array("Positive sentiment", "Negative sentiment", "Unknown sentiment"))
   }
 
+  test("codegen'd word shingles equal the HOF spelling over the corpus") {
+    // the optimized WordShinglesExpr must reproduce the original
+    // transform/sequence/element_at/concat_ws chain element-for-element
+    def hofShingles(toks: org.apache.spark.sql.Column, n: Int) =
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+        .otherwise(array().cast("array<string>"))
+    val docs = core.Tables.documents(spark, TestSpark.sfDir)
+    for (n <- Seq(2, 3, 5)) {
+      val toks = TextFunctions.tokens(col("text"))
+      val diff = docs.filter(
+        not(TextFunctions.wordShingles(toks, n) <=> hofShingles(toks, n)))
+      assert(diff.count() === 0L, s"n=$n")
+    }
+    // edge cases: empty string, exactly n tokens, null input
+    val edge = Seq(Some(""), Some("a b c"), Some("x"), None).toDF("t")
+    val got = edge.select(TextFunctions.wordShingles(
+      when(col("t").isNotNull, TextFunctions.tokens(col("t"))), 3))
+      .as[Seq[String]].collect()
+    assert(got(0) === Seq.empty || got(0) === Seq("")) // "" tokenizes to [""]
+    assert(got(1) === Seq("a b c"))
+    assert(got(2) === Seq.empty)
+    assert(got(3) === Seq.empty) // NULL tokens -> empty, like the when() wrapper
+  }
+
   test("word shingles: short docs yield empty array, not an error") {
     val out = Seq("one two", "a b c d").toDF("t")
       .select(TextFunctions.wordShingles(TextFunctions.tokens(col("t")), 3))
