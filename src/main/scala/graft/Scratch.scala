@@ -56,17 +56,9 @@ object Scratch {
     time(spark, "q05 full")(operators.Relational.revenueByNation(spark, d))
     time(spark, "q16 full")(operators.Relational.aboveAvgOrders(spark, d))
 
-    spark.conf.set("spark.sql.ansi.enabled", "false")
-    time(spark, "q01 ansi=off")(operators.Relational.pricingSummary(spark, d))
-    time(spark, "q33 ansi=off")(operators.Dedup.minhashLshPairs(spark, d))
-    spark.conf.set("spark.sql.ansi.enabled", "true")
-
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-    time(spark, "q33 parFirst=off")(operators.Dedup.minhashLshPairs(spark, d))
-    time(spark, "q05 parFirst=off")(operators.Relational.revenueByNation(spark, d))
-    time(spark, "q42 parFirst=off")(operators.WindowQueries.sessionize(spark, d))
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
-    time(spark, "q42 parFirst=on")(operators.WindowQueries.sessionize(spark, d))
+    time(spark, "q35 full")(operators.Similarity.knnBruteForce(spark, d))
+    time(spark, "q36 full")(operators.Similarity.embeddingNearDup(spark, d))
+    time(spark, "q37 full")(operators.Similarity.annIvf(spark, d))
     spark.stop()
   }
 }

@@ -17,8 +17,10 @@ import org.apache.spark.sql.graftbridge.{ColumnBridge, DotProductExpr}
 object VectorFunctions {
 
   /** Cast an array<float> column to array<double> before arithmetic:
-    * float accumulation is both lossy and engine-dependent. */
-  def toDoubleArray(c: Column): Column = transform(c, x => x.cast("double"))
+    * float accumulation is both lossy and engine-dependent. A direct
+    * array cast (codegen'd, element-identical) — the transform() HOF
+    * spelling is interpreted CodegenFallback. */
+  def toDoubleArray(c: Column): Column = c.cast("array<double>")
 
   /** Codegen'd dot product (index-ordered fold, bit-deterministic). */
   def dot(a: Column, b: Column): Column =

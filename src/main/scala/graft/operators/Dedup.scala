@@ -174,8 +174,15 @@ object Dedup {
       val cols = (0 until RowsPerBand).map(r => col(s"mh_${b * RowsPerBand + r}"))
       struct(lit(b).as("band"), hash(cols: _*).as("sig"))
     }: _*)
+    // repartition on the join key so BOTH self-join sides hang off ONE
+    // exchange (identical subplans → ReuseExchange): without it the
+    // planner broadcasts one side and the whole signature pipeline
+    // (scan → shingle → explode → 32-way min agg) is computed twice.
+    // At corpus scale the banded table is corpus-sized, so the shuffle
+    // join is also the only shape that survives.
     val bands = sig.select(col("doc_id"), explode(bandStructs).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .repartition(col("band"), col("sig"))
     val cand = bands.as("x")
       .join(bands.as("y"), col("x.band") === col("y.band") &&
         col("x.sig") === col("y.sig") && col("x.doc_id") < col("y.doc_id"))
@@ -237,8 +244,10 @@ object Dedup {
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * 8).bitwiseAND(0xFFL).as("key"))
     }: _*)
+    // one reused exchange for both self-join sides — see minhashLshPairs
     val banded = sig.select(col("doc_id"), col("simhash"), explode(bandKeys).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .repartition(col("band"), col("key"))
     banded.as("a")
       .join(banded.as("b"), col("a.band") === col("b.band") &&
         col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))

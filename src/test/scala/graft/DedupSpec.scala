@@ -41,6 +41,15 @@ class DedupSpec extends AnyFunSuite {
     assert(banded === cartesian)
   }
 
+  test("LSH band self-join computes the signature pipeline once (reused exchange)") {
+    val df = Dedup.minhashLshPairs(spark, sf)
+    df.collect() // materialize so the adaptive plan is final
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedQueryStage") || plan.contains("ReusedExchange"),
+      "band self-join must share one exchange, not recompute signatures: " +
+        plan.take(4000))
+  }
+
   test("banded SimHash plan contains no nested-loop join") {
     val plan = Dedup.simhashPairs(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
