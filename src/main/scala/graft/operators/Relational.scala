@@ -205,11 +205,24 @@ object Relational {
       |  FROM orders)
       |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
 
-  /** ROLLUP hierarchy totals (status → priority → grand total). */
+  /** ROLLUP hierarchy totals (status → priority → grand total).
+    *
+    * Aggregated to exact (count, decimal-sum) partials per (status,
+    * priority) BEFORE the rollup: ROLLUP plans an Expand that
+    * triplicates every input row ahead of the aggregate, so the flat
+    * spelling pays the double→decimal cast 3× per row. Rolling up the
+    * ~|status×priority| partials instead is bit-identical (decimal
+    * sums are associative; detail rows reproduce the base groups) and
+    * expands dozens of rows, not the fact table — the §2.3 "aggregate
+    * before you shuffle" move applied to Expand. */
   def rollupOrders(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("pn"),
+        sum(col("o_totalprice").cast(DecimalType(28, 10))).as("ps"))
       .rollup("o_orderstatus", "o_orderpriority")
-      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .agg(sum(col("pn")).as("n"),
+        round(sum(col("ps")).cast("double"), 4).as("sum_price"))
       .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
   val rollupOrdersSql: String =
@@ -218,12 +231,18 @@ object Relational {
        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
-  /** CUBE over event_type × day-of-week. */
+  /** CUBE over event_type × day-of-week. Pre-aggregated to exact
+    * partials like rollupOrders — CUBE's Expand quadruplicates every
+    * row, so the flat spelling pays the decimal cast 4× per row. */
   def cubeEvents(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .withColumn("dow", dayofweek(col("ts")).cast("long"))
+      .groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("pn"),
+        sum(col("value").cast(DecimalType(28, 10))).as("ps"))
       .cube("event_type", "dow")
-      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .agg(sum(col("pn")).as("n"),
+        round(sum(col("ps")).cast("double"), 4).as("sum_value"))
       .orderBy(asc_nulls_first("event_type"), asc_nulls_first("dow"))
 
   val cubeEventsSql: String =
