@@ -5,7 +5,6 @@ import graft.core.QueryUtils._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Relational operator inventory (SURVEY.md §2.6 Q1–Q8 re-expressed
   * over the synthetic star schema, plus the scan/filter/join/window/
@@ -107,8 +106,8 @@ object Relational {
   def revenueByNation(s: SparkSession, d: String): DataFrame = {
     val liPerOrder = Tables.lineitem(s, d)
       .groupBy("l_orderkey")
-      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-        .cast(DecimalType(28, 10))).as("rev"))
+      .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("rev"))
     val o = Tables.orders(s, d)
       .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
         col("o_orderdate") < to_timestamp(lit("1999-01-01")))
@@ -219,7 +218,7 @@ object Relational {
     Tables.orders(s, d)
       .groupBy("o_orderstatus", "o_orderpriority")
       .agg(count(lit(1)).as("pn"),
-        sum(col("o_totalprice").cast(DecimalType(28, 10))).as("ps"))
+        sum(dec(col("o_totalprice"))).as("ps"))
       .rollup("o_orderstatus", "o_orderpriority")
       .agg(sum(col("pn")).as("n"),
         round(sum(col("ps")).cast("double"), 4).as("sum_price"))
@@ -239,7 +238,7 @@ object Relational {
       .withColumn("dow", dayofweek(col("ts")).cast("long"))
       .groupBy("event_type", "dow")
       .agg(count(lit(1)).as("pn"),
-        sum(col("value").cast(DecimalType(28, 10))).as("ps"))
+        sum(dec(col("value"))).as("ps"))
       .cube("event_type", "dow")
       .agg(sum(col("pn")).as("n"),
         round(sum(col("ps")).cast("double"), 4).as("sum_value"))
@@ -314,7 +313,7 @@ object Relational {
     val w = Window.partitionBy("o_custkey")
     Tables.orders(s, d)
       .withColumn("cust_avg",
-        round(sum(col("o_totalprice").cast(DecimalType(28, 10))).over(w)
+        round(sum(dec(col("o_totalprice"))).over(w)
           .cast("double") / count(lit(1)).over(w), 6))
       .filter(col("o_totalprice") > col("cust_avg"))
       .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")

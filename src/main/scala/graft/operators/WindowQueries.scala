@@ -103,7 +103,7 @@ object WindowQueries {
       .withColumn("ts_us", unix_micros(col("ts")))
       .withColumn("idx", row_number().over(byUser).cast("long"))
       .withColumn("cum_value",
-        round(sum(col("value").cast("decimal(28,10)"))
+        round(sum(QueryUtils.dec(col("value")))
           .over(byUser.rowsBetween(Window.unboundedPreceding, 0))
           .cast("double"), 4))
       .select("user_id", "idx", "event_id", "ts_us", "cum_value")
