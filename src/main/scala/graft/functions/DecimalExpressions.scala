@@ -62,7 +62,19 @@ object DecimalFast {
   }
 
   def toDec2810(d: Double): Decimal = {
-    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) return slow(d)
+    val u = unscaled18OrSentinel(d)
+    if (u == Long.MinValue) slow(d)
+    else Decimal.createUnsafe(u, Precision, Scale)
+  }
+
+  /** The fast parse, surfaced as a bare unscaled long for the two-long
+    * sum kernel (DecimalSum): returns unscaled(Cast(d → DECIMAL(28,10)))
+    * with |u| ≤ 10¹⁸ guaranteed, or Long.MinValue when the plain-
+    * notation fast path does not apply (NaN/Inf, scientific notation,
+    * > MaxIntDigits integer digits) and the caller must take the exact
+    * slow path. */
+  def unscaled18OrSentinel(d: Double): Long = {
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) return Long.MinValue
     val s = java.lang.Double.toString(d)
     val n = s.length
     var i = 0
@@ -72,19 +84,19 @@ object DecimalFast {
     var intDigits = 0
     var c = s.charAt(i)
     while (c != '.') { // plain form always contains '.'; 'E' only after it
-      if (c == 'E') return slow(d)
+      if (c == 'E') return Long.MinValue
       intPart = intPart * 10 + (c - '0')
       intDigits += 1
       i += 1
       c = s.charAt(i)
     }
-    if (intDigits > MaxIntDigits) return slow(d)
+    if (intDigits > MaxIntDigits) return Long.MinValue
     i += 1 // skip '.'
     var frac = 0L
     var fracDigits = 0
     while (i < n && fracDigits < Scale) {
       c = s.charAt(i)
-      if (c == 'E') return slow(d)
+      if (c == 'E') return Long.MinValue
       frac = frac * 10 + (c - '0')
       fracDigits += 1
       i += 1
@@ -93,7 +105,7 @@ object DecimalFast {
       // digits beyond scale 10: HALF_UP — the discarded tail is >= half
       // an ulp iff its leading digit is >= 5 (ties round away from zero)
       var j = i
-      while (j < n) { if (s.charAt(j) == 'E') return slow(d); j += 1 }
+      while (j < n) { if (s.charAt(j) == 'E') return Long.MinValue; j += 1 }
       if (s.charAt(i) - '0' >= 5) {
         frac += 1
         if (frac == ScaleFactor) { frac = 0; intPart += 1 }
@@ -102,6 +114,6 @@ object DecimalFast {
       while (fracDigits < Scale) { frac = frac * 10; fracDigits += 1 }
     }
     val unscaled = intPart * ScaleFactor + frac
-    Decimal.createUnsafe(if (neg) -unscaled else unscaled, Precision, Scale)
+    if (neg) -unscaled else unscaled
   }
 }

@@ -22,8 +22,9 @@ object WindowQueries {
     * aligned, i.e. exactly date_trunc('hour')). */
   def tumblingHourly(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
+      .withColumn("_u", unscaled18(col("value")))
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), dsum(col("_u"), col("value")).as("sum_value"))
       .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
       .orderBy("ws", "event_type")
 
@@ -36,8 +37,9 @@ object WindowQueries {
     * two windows (starts at trunc(ts,h) and trunc(ts,h)-1h). */
   def slidingTwoHour(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
+      .withColumn("_u", unscaled18(col("value")))
       .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
-      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), dsum(col("_u"), col("value")).as("sum_value"))
       .select(col("w.start").as("ws"), col("n"), col("sum_value"))
       .orderBy("ws")
 
@@ -64,11 +66,12 @@ object WindowQueries {
           .otherwise(0))
       .withColumn("sess_id",
         sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("_u", unscaled18(col("value")))
       .groupBy("user_id", "sess_id")
       .agg(count(lit(1)).as("n_events"),
         min(col("ts_us")).as("start_us"),
         max(col("ts_us")).as("end_us"),
-        dsum(col("value")).as("sum_value"))
+        dsum(col("_u"), col("value")).as("sum_value"))
       .orderBy("user_id", "sess_id")
   }
 
@@ -102,8 +105,10 @@ object WindowQueries {
       .filter(col("user_id") < maxUserId)
       .withColumn("ts_us", unix_micros(col("ts")))
       .withColumn("idx", row_number().over(byUser).cast("long"))
+      // pre-projected parse: window update projections don't CSE
+      .withColumn("_u", QueryUtils.unscaled18(col("value")))
       .withColumn("cum_value",
-        round(sum(QueryUtils.dec(col("value")))
+        round(QueryUtils.sumDec(col("_u"), col("value"))
           .over(byUser.rowsBetween(Window.unboundedPreceding, 0))
           .cast("double"), 4))
       .select("user_id", "idx", "event_id", "ts_us", "cum_value")
