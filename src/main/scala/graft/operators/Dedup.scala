@@ -129,30 +129,32 @@ object Dedup {
   // engine-specific; the driver records a rows-only check and
   // DedupSpec validates the pair set against exact Jaccard). ----
 
-  /** Fixed affine hash parameters, deterministic and bounded < 2^31 so
-    * a*h + b stays well under Long.MaxValue (ANSI mode rejects
-    * overflow). */
   private val MinhashFuncs = 32
   private val Bands = 8
   private val RowsPerBand = MinhashFuncs / Bands
-  private val Prime = 2147483647L // 2^31 - 1
-  private val As: Seq[Long] =
-    (0 until MinhashFuncs).map(i => (i * 2654435761L + 1013904223L) % (Prime - 1) + 1)
-  private val Bs: Seq[Long] =
-    (0 until MinhashFuncs).map(i => (i * 805306457L + 784388323L) % Prime)
 
-  private def minhashCol(i: Int): Column =
-    min(pmod(lit(As(i)) * col("sh_hash") + lit(Bs(i)), lit(Prime))).as(s"mh_$i")
-
-  /** Per-doc 32-slot MinHash signature from murmur3 shingle hashes
-    * (hash folded into [0, p) first to bound the affine arithmetic). */
+  /** Per-doc 32-slot MinHash signature, computed by the codegen'd
+    * per-row kernel (SignatureUtil.minhash: same murmur3 shingle
+    * hashes folded into [0, p), same affine (a_i·h + b_i) mod p mins —
+    * DedupSpec proves equality with the aggregate spelling). The
+    * signature stage is a pure scan → project: the aggregate spelling
+    * paid an explode (a row per shingle) plus a doc-keyed exchange —
+    * a corpus-wide shuffle at scale for what is a map. Docs with no
+    * shingles are filtered, exactly as explode dropped them. */
   def minhashSignatures(s: SparkSession, d: String,
-                        maxDocId: Long = 1000L): DataFrame =
-    shingled(s, d, maxDocId)
-      .withColumn("sh_hash",
-        pmod(hash(col("shingle")).cast("long"), lit(Prime)))
-      .groupBy("doc_id")
-      .agg(minhashCol(0), (1 until MinhashFuncs).map(minhashCol): _*)
+                        maxDocId: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, MinHashSigExpr}
+    val mhs = ColumnBridge.column(MinHashSigExpr(
+      ColumnBridge.expression(col("sh_arr"))))
+    withShingleArr(s, d, maxDocId)
+      .filter(size(col("sh_arr")) > 0)
+      // two-level projection: the kernel evaluates ONCE into "mhs"
+      // (CollapseProject keeps non-cheap multiply-referenced aliases),
+      // the mh_i slots are then plain array reads
+      .select(col("doc_id"), mhs.as("mhs"))
+      .select(col("doc_id") +: (0 until MinhashFuncs).map(i =>
+        element_at(col("mhs"), i + 1).as(s"mh_$i")): _*)
+  }
 
   /** LSH candidate pairs: band the signature (8 bands × 4 rows), bucket
     * docs by (band, band-hash), join within buckets, then verify with
@@ -210,23 +212,23 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
-  /** SimHash: 64-bit signature — per-token murmur3-derived bits, summed
-    * ±1 per bit position, sign → bit. One pass, no shuffle beyond the
-    * doc-level aggregate. */
+  /** SimHash: 64-bit signature — per-token xxhash64-derived bits,
+    * summed ±1 per bit position, sign → bit — computed by the
+    * codegen'd per-row kernel (SignatureUtil.simhash; DedupSpec proves
+    * equality with the 64-conditional-sum aggregate spelling). Pure
+    * scan → project: no explode, no doc-keyed exchange at any scale.
+    * Docs with no tokens are filtered, exactly as explode dropped
+    * them. */
   def simhashSignatures(s: SparkSession, d: String,
                         maxDocId: Long = 1000L): DataFrame = {
-    val tok = Tables.documents(s, d)
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, SimHash64Expr}
+    Tables.documents(s, d)
       .filter(col("doc_id") < maxDocId)
-      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"bit_$i")
-    }
-    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map { i =>
-      when(col(s"bit_$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
-    }.reduce((a, b) => a.bitwiseOR(b))
-    agg.select(col("doc_id"), sig.as("simhash"))
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        ColumnBridge.column(SimHash64Expr(
+          ColumnBridge.expression(col("toks")))).as("simhash"))
   }
 
   private val SimhashBands = 8 // 8 bands × 8 bits

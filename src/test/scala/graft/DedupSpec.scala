@@ -55,6 +55,46 @@ class DedupSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("MinHash kernel signatures equal the explode+min aggregate spelling") {
+    import graft.functions.TextFunctions._
+    import org.apache.spark.sql.graftbridge.SignatureUtil
+    val p = SignatureUtil.Prime
+    val sh = core.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 1000L)
+      .select(col("doc_id"),
+        explode(array_distinct(wordShingles(tokens(col("text")), 3))).as("shingle"))
+      .withColumn("sh_hash", pmod(hash(col("shingle")).cast("long"), lit(p)))
+    val aggCols = (0 until SignatureUtil.MinhashFuncs).map { i =>
+      min(pmod(lit(SignatureUtil.As(i)) * col("sh_hash") + lit(SignatureUtil.Bs(i)),
+        lit(p))).as(s"mh_$i")
+    }
+    val want = sh.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val got = Dedup.minhashSignatures(spark, sf)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(got === want)
+  }
+
+  test("SimHash kernel signatures equal the 64-sum aggregate spelling") {
+    import graft.functions.TextFunctions._
+    val tok = core.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 1000L)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"bit_$i")
+    }
+    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { i =>
+      when(col(s"bit_$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val want = agg.select(col("doc_id"), sig.as("simhash"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val got = Dedup.simhashSignatures(spark, sf)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(got === want)
+  }
+
   test("exact dedup keeps one survivor per distinct content") {
     val docs = core.Tables.documents(spark, sf)
     val total = docs.count()
