@@ -71,6 +71,18 @@ object Dedup {
     withShingleArr(s, d, maxDocId)
       .select(col("doc_id"), explode(col("sh_arr")).as("shingle"))
 
+  /** `shingled`, hash-partitioned on the shingle — the inverted-index
+    * self-join's key — so BOTH self-join sides hang off one exchange
+    * (ReuseExchange) instead of the planner broadcasting one side and
+    * recomputing the whole scan → tokenize → shingle → explode
+    * pipeline for it. Same move as the LSH band join; also the only
+    * shape that survives at corpus scale, where the exploded index is
+    * corpus-sized and unbroadcastable (hot-shingle skew is AQE's skew
+    * join's job). */
+  private def shingledByShingle(s: SparkSession, d: String,
+                                maxDocId: Long): DataFrame =
+    shingled(s, d, maxDocId).repartition(col("shingle"))
+
   /** |shingle set| per doc, straight off the array — identical to
     * exploding and re-aggregating (explode drops empty-array docs; so
     * does the n_sh > 0 filter) but with no groupBy shuffle and no
@@ -85,7 +97,7 @@ object Dedup {
     * explode → self-equi-join on shingle → |∩| per pair → Jaccard. */
   def ngramJaccardPairs(s: SparkSession, d: String,
                         maxDocId: Long = 1000L): DataFrame = {
-    val sh = shingled(s, d, maxDocId)
+    val sh = shingledByShingle(s, d, maxDocId)
     val counts = shingleCounts(s, d, maxDocId)
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&

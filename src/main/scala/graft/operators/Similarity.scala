@@ -71,7 +71,14 @@ object Similarity {
     * oracle-harness knob, not part of the operator's semantics. */
   def embeddingNearDup(s: SparkSession, d: String,
                        maxVecId: Long = 2000L): DataFrame = {
+    // hash-partitioned on the blocking key so both self-join sides
+    // read ONE reused exchange: without it the planner broadcasts one
+    // side and re-runs the scan + array-cast + norm pipeline for it
+    // (the embeddings scan decodes the full vector column — measured
+    // 0.23 s/scan at sf0.1). Also the scale shape: the blocked table
+    // is corpus-sized, label skew is AQE's skew-join's job.
     val emb = withNorm(s, d).filter(col("vec_id") < maxVecId)
+      .repartition(col("label"))
     emb.as("a")
       .join(emb.as("b"), col("a.label") === col("b.label") &&
         col("a.vec_id") < col("b.vec_id"))
