@@ -31,10 +31,17 @@ object TextFunctions {
   /** F4: delete ASCII punctuation (reference src/utils.py:9). */
   def dropPunctuation(c: Column): Column = translate(c, asciiPunctuation, "")
 
+  /** The 6-char java-\s set: [ \t\n\x0B\f\r]. */
+  private val wsChars = " \t\n\u000B\f\r"
+
   /** Python str.strip() parity: strips ALL leading/trailing whitespace
-    * including tab/newline — Spark's trim() strips spaces only
-    * (golden case at reference src/unit_tests/test_utils.py:18-21). */
-  def pyStrip(c: Column): Column = regexp_replace(c, "^\\s+|\\s+$", "")
+    * including tab/newline — Spark's one-arg trim() strips spaces only
+    * (golden case at reference src/unit_tests/test_utils.py:18-21).
+    * Spelled as charset-trim rather than
+    * regexp_replace(c, "^\\s+|\\s+$", "") — identical for every input
+    * (both remove exactly the leading and trailing [ \t\n\x0B\f\r]
+    * runs; TextFunctionsSpec proves it) without the per-row regex. */
+  def pyStrip(c: Column): Column = trim(c, wsChars)
 
   /** F1–F5 chained in reference order (src/utils.py:5-10). */
   def cleanText(c: Column): Column =
@@ -47,8 +54,14 @@ object TextFunctions {
       .when(pred === 0, "Negative sentiment")
       .otherwise("Unknown sentiment")
 
-  /** Whitespace tokenizer over a python-stripped string. */
-  def tokens(c: Column): Column = split(pyStrip(c), "\\s+")
+  /** Whitespace tokenizer over a python-stripped string. Codegen'd
+    * byte-scan kernel (graftbridge.WsTokensExpr), output identical to
+    * split(pyStrip(c), "\\s+") including the [""] result for strings
+    * that strip to empty (TextFunctionsSpec proves equality). */
+  def tokens(c: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      org.apache.spark.sql.graftbridge.WsTokensExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
 
   def tokenCount(c: Column): Column = size(tokens(c))
 

@@ -1,0 +1,209 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-scan text kernels replacing per-row java.util.regex passes.
+  *
+  * The tokenizer and marker counter below are exact re-implementations
+  * of regex spellings whose character classes are pure ASCII (java
+  * `\s` = [ \t\n\x0B\f\r], java `\w` = [a-zA-Z0-9_] — multi-byte
+  * UTF-8 units are ≥ 0x80, so byte-level scanning sees exactly the
+  * same boundaries the regex engine sees). Measured at sf0.1 the
+  * regex tokenization cost ~0.13 s per evaluation over 5k docs and
+  * feeds eight queries; the marker counter collapses q24's four
+  * full-text regex scans into one. Equivalence with the regex
+  * spellings is property-proven in TextFunctionsSpec over the corpus
+  * plus adversarial inputs.
+  */
+object TextKernelUtil {
+  /** java \s */
+  @inline private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  /** java \w */
+  @inline private def isWord(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+      (b >= '0' && b <= '9') || b == '_'
+
+  private val EmptyString = UTF8String.fromString("")
+
+  /** split(regexp_replace(s, "^\s+|\s+$", ""), "\s+") — strip both
+    * ends, then maximal non-whitespace runs; a string that strips to
+    * empty yields [""] exactly like java "".split(re, -1). */
+  def wsTokens(s: UTF8String): ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val n = s.numBytes
+    var lo = 0
+    while (lo < n && isWs(Platform.getByte(base, off + lo))) lo += 1
+    var hi = n
+    while (hi > lo && isWs(Platform.getByte(base, off + hi - 1))) hi -= 1
+    if (lo >= hi) return new GenericArrayData(Array[Any](EmptyString))
+    val out = new java.util.ArrayList[Any](16)
+    var i = lo
+    while (i < hi) {
+      // stripped interior: i starts on a non-ws byte
+      var j = i + 1
+      while (j < hi && !isWs(Platform.getByte(base, off + j))) j += 1
+      val len = j - i
+      val b = new Array[Byte](len)
+      Platform.copyMemory(base, off + i, b, Platform.BYTE_ARRAY_OFFSET, len)
+      out.add(UTF8String.fromBytes(b))
+      i = j + 1
+      while (i < hi && isWs(Platform.getByte(base, off + i))) i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Pack an ASCII word of 1..7 bytes into a long (length-tagged). */
+  private def pack(bytes: Array[Byte]): Long = {
+    require(bytes.length >= 1 && bytes.length <= 7, "marker words must be 1..7 bytes")
+    var v = bytes.length.toLong
+    var i = 0
+    while (i < bytes.length) {
+      v |= (bytes(i) & 0xFFL) << (8 * (i + 1))
+      i += 1
+    }
+    v
+  }
+
+  /** Compile marker sets into (packed word, set index) arrays. Words
+    * must be ASCII \w+ and pairwise distinct across sets. */
+  def compile(sets: Seq[Seq[String]]): (Array[Long], Array[Int], Int) = {
+    val words = new scala.collection.mutable.ArrayBuffer[Long]
+    val idx = new scala.collection.mutable.ArrayBuffer[Int]
+    sets.zipWithIndex.foreach { case (set, si) =>
+      set.foreach { w =>
+        val b = w.getBytes("US-ASCII")
+        words += pack(b)
+        idx += si
+      }
+    }
+    require(words.distinct.size == words.size, "marker words must be disjoint across sets")
+    (words.toArray, idx.toArray, sets.size)
+  }
+
+  /** java.util.regex \b neighbor test: the default (non-UNICODE_
+    * CHARACTER_CLASS) Bound node treats '_' and any Unicode
+    * letter-or-digit as a word character — deliberately WIDER than \w.
+    * ASCII neighbors of a maximal \w-run are never letters/digits (or
+    * the run would extend), so only multi-byte neighbors can reject. */
+  @inline private def isBoundWord(cp: Int): Boolean =
+    cp == '_' || Character.isLetterOrDigit(cp)
+
+  /** Decode the UTF-8 code point starting at byte i. */
+  private def codePointAt(base: AnyRef, off: Long, i: Int): Int = {
+    val b0 = Platform.getByte(base, off + i) & 0xFF
+    if (b0 < 0x80) b0
+    else if (b0 < 0xE0)
+      ((b0 & 0x1F) << 6) | (Platform.getByte(base, off + i + 1) & 0x3F)
+    else if (b0 < 0xF0)
+      ((b0 & 0x0F) << 12) | ((Platform.getByte(base, off + i + 1) & 0x3F) << 6) |
+        (Platform.getByte(base, off + i + 2) & 0x3F)
+    else
+      ((b0 & 0x07) << 18) | ((Platform.getByte(base, off + i + 1) & 0x3F) << 12) |
+        ((Platform.getByte(base, off + i + 2) & 0x3F) << 6) |
+        (Platform.getByte(base, off + i + 3) & 0x3F)
+  }
+
+  /** Decode the UTF-8 code point ending just before byte i (i > 0). */
+  private def codePointBefore(base: AnyRef, off: Long, i: Int): Int = {
+    var j = i - 1
+    while (j > 0 && (Platform.getByte(base, off + j) & 0xC0) == 0x80) j -= 1
+    codePointAt(base, off, j)
+  }
+
+  /** Per-set counts of whole-word marker matches — exactly
+    * size(regexp_extract_all(s, "\b(w1|w2|…)\b", 0)) per set, in one
+    * scan: a \b(w)\b match is precisely a maximal \w-run equal to w
+    * whose neighboring code points are not java-\b word characters
+    * (the trailing \b rejects prefix matches, runs are disjoint so
+    * counts are independent across disjoint sets). */
+  def markerCounts(s: UTF8String, words: Array[Long], setIdx: Array[Int],
+      nSets: Int): ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val n = s.numBytes
+    val counts = new Array[Int](nSets)
+    var i = 0
+    while (i < n) {
+      if (isWord(Platform.getByte(base, off + i))) {
+        var j = i + 1
+        while (j < n && isWord(Platform.getByte(base, off + j))) j += 1
+        val len = j - i
+        val boundaryOk =
+          (i == 0 || !isBoundWord(codePointBefore(base, off, i))) &&
+          (j == n || !isBoundWord(codePointAt(base, off, j)))
+        if (len <= 7 && boundaryOk) {
+          var v = len.toLong
+          var k = 0
+          while (k < len) {
+            v |= (Platform.getByte(base, off + i + k) & 0xFFL) << (8 * (k + 1))
+            k += 1
+          }
+          var w = 0
+          while (w < words.length) {
+            if (words(w) == v) { counts(setIdx(w)) += 1; w = words.length }
+            else w += 1
+          }
+        }
+        i = j
+      } else i += 1
+    }
+    val out = new Array[Any](nSets)
+    var c = 0
+    while (c < nSets) { out(c) = counts(c); c += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** string → array<string> whitespace tokens (split(pyStrip(c), "\s+")
+  * parity, see TextKernelUtil.wsTokens). */
+case class WsTokensExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_ws_tokens"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernelUtil.wsTokens(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graftbridge.TextKernelUtil.wsTokens($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** string → array<int> of whole-word marker-set hit counts, one scan
+  * over the text for all sets. */
+case class MarkerCountsExpr(child: Expression, sets: Seq[Seq[String]])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_marker_counts"
+
+  @transient private lazy val compiled = TextKernelUtil.compile(sets)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val (w, si, n) = compiled
+    TextKernelUtil.markerCounts(input.asInstanceOf[UTF8String], w, si, n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (w, si, n) = compiled
+    val wordsRef = ctx.addReferenceObj("markerWords", w, "long[]")
+    val idxRef = ctx.addReferenceObj("markerSetIdx", si, "int[]")
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graftbridge.TextKernelUtil.markerCounts($c, $wordsRef, $idxRef, $n)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

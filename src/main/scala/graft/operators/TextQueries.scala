@@ -129,12 +129,23 @@ object TextQueries {
   val deMarkers = Seq("der", "die", "das", "und", "ist")
 
   def langGuess(s: SparkSession, d: String): DataFrame =
+    // all four marker counts in ONE byte-scan pass (MarkerCountsExpr):
+    // the regexp_extract_all spelling ran four full-text regex scans
+    // per row. Whole-word counts are identical (the sets are disjoint
+    // and a \b(w)\b match is exactly a maximal \w-run equal to w —
+    // TextFunctionsSpec proves equality per set). Two-level projection
+    // so the kernel evaluates once.
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
-        markerHits(col("text"), enMarkers).cast("long").as("en_n"),
-        markerHits(col("text"), frMarkers).cast("long").as("fr_n"),
-        markerHits(col("text"), esMarkers).cast("long").as("es_n"),
-        markerHits(col("text"), deMarkers).cast("long").as("de_n"))
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          org.apache.spark.sql.graftbridge.MarkerCountsExpr(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("text")),
+            Seq(enMarkers, frMarkers, esMarkers, deMarkers))).as("mc"))
+      .select(col("doc_id"), col("lang"),
+        element_at(col("mc"), 1).cast("long").as("en_n"),
+        element_at(col("mc"), 2).cast("long").as("fr_n"),
+        element_at(col("mc"), 3).cast("long").as("es_n"),
+        element_at(col("mc"), 4).cast("long").as("de_n"))
       .withColumn("guess",
         when(col("en_n") >= greatest(col("fr_n"), col("es_n"), col("de_n")), "en")
           .when(col("fr_n") >= greatest(col("es_n"), col("de_n")), "fr")

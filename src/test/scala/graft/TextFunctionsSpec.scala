@@ -85,4 +85,68 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(out(0) === Seq.empty)
     assert(out(1) === Seq("a b c", "b c d"))
   }
+
+  /** The regex spellings the byte-scan kernels replaced; kept here as
+    * the equivalence reference. */
+  private def pyStripRegex(c: org.apache.spark.sql.Column) =
+    regexp_replace(c, "^\\s+|\\s+$", "")
+  private def tokensRegex(c: org.apache.spark.sql.Column) =
+    split(pyStripRegex(c), "\\s+")
+
+  private val advStrings: Seq[String] = Seq(
+    "", " ", "\t\n\u000B\f\r", "a", " a ", "\ta b\u000Bc\rd\f e\n",
+    "no_whitespace", "  double  spaces  inside  ", "tab\tonly",
+    "unicode \u00e9t\u00e9 caf\u00e9  ", "the and of to is",
+    "der die das und ist", "el los las de y le la les et des",
+    "theand of-to is. (is) [the] _the_ the1 1the the_ the",
+    "\u00e9the the\u00e9 \u00e9the\u00e9 the")
+
+  test("charset-trim pyStrip equals the regex spelling (corpus + adversarial)") {
+    val adv = advStrings.toDF("text")
+    val docs = core.Tables.documents(spark, TestSpark.sfDir).select("text")
+    Seq(adv, docs).foreach { df =>
+      val bad = df.filter(not(
+        TextFunctions.pyStrip(col("text")) <=> pyStripRegex(col("text"))))
+      assert(bad.count() === 0L)
+    }
+  }
+
+  test("byte-scan tokens equal split(pyStrip, \\s+) (corpus + adversarial)") {
+    val adv = advStrings.toDF("text")
+    val docs = core.Tables.documents(spark, TestSpark.sfDir).select("text")
+    Seq(adv, docs).foreach { df =>
+      val bad = df.filter(not(
+        TextFunctions.tokens(col("text")) <=> tokensRegex(col("text"))))
+      assert(bad.count() === 0L)
+    }
+    // null propagates like the regex spelling
+    val n = Seq[Option[String]](None).toDF("text")
+      .select(TextFunctions.tokens(col("text"))).head()
+    assert(n.isNullAt(0))
+  }
+
+  test("one-pass marker counts equal the four regexp_extract_all scans") {
+    import graft.operators.TextQueries._
+    val sets = Seq(enMarkers, frMarkers, esMarkers, deMarkers)
+    val mc = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      org.apache.spark.sql.graftbridge.MarkerCountsExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("text")), sets))
+    val adv = advStrings.toDF("text")
+    val docs = core.Tables.documents(spark, TestSpark.sfDir).select("text")
+    Seq(adv, docs).foreach { df =>
+      val checked = df.select(
+        mc.as("mc"),
+        TextFunctions.markerHits(col("text"), enMarkers).as("e0"),
+        TextFunctions.markerHits(col("text"), frMarkers).as("e1"),
+        TextFunctions.markerHits(col("text"), esMarkers).as("e2"),
+        TextFunctions.markerHits(col("text"), deMarkers).as("e3"))
+      val bad = checked.filter(not(
+        element_at(col("mc"), 1) <=> col("e0") &&
+        element_at(col("mc"), 2) <=> col("e1") &&
+        element_at(col("mc"), 3) <=> col("e2") &&
+        element_at(col("mc"), 4) <=> col("e3")))
+      assert(bad.count() === 0L)
+    }
+  }
+
 }
