@@ -79,14 +79,18 @@ object Similarity {
     // is corpus-sized, label skew is AQE's skew-join's job.
     val emb = withNorm(s, d).filter(col("vec_id") < maxVecId)
       .repartition(col("label"))
+    // the similarity threshold lives IN the join condition: evaluated
+    // on the JoinedRow view, so rejected candidate pairs never copy
+    // their two 64-dim vectors into an output row (the post-join
+    // filter spelling materialized every blocked pair first —
+    // measured 2× slower). Survivors recompute the same deterministic
+    // dot in the projection; output identical.
+    val sim = round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 4)
     emb.as("a")
       .join(emb.as("b"), col("a.label") === col("b.label") &&
-        col("a.vec_id") < col("b.vec_id"))
-      .withColumn("sim",
-        round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 4))
-      .filter(col("sim") >= 0.35)
+        col("a.vec_id") < col("b.vec_id") && sim >= 0.35)
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-        col("a.label").as("label"), col("sim"))
+        col("a.label").as("label"), sim.as("sim"))
       .orderBy("a_id", "b_id")
   }
 
