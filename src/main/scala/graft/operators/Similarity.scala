@@ -112,16 +112,28 @@ object Similarity {
     val emb = withNorm(s, d).select("vec_id", "v", "nrm")
     val centroids = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cent_id"), col("v").as("centv"), col("nrm").as("centn"))
-    val simToCent = emb.join(broadcast(centroids))
+    val bc = broadcast(centroids)
+    def withCsim(df: DataFrame): DataFrame = df.join(bc)
       .withColumn("csim", dot(col("v"), col("centv")) / (col("nrm") * col("centn")))
+    // Home bucket per vector as an AGGREGATE argmax — max(struct(csim,
+    // -cent_id, …)) picks exactly the window's (csim DESC, cent_id ASC)
+    // rank 1, deterministically (csim + cent_id are unique per vec).
+    // The previous row_number-window spelling was recomputed once per
+    // consumer (probes' vec_id filter pushed below the window exchange,
+    // so nothing was shared: 7 scans / 6 Windows in the executed plan)
+    // — and at scale that duplicated a corpus-wide window. One hash
+    // aggregate replaces it; the probe ranking runs on the
+    // queries-only frame (NQueries × 8 rows), not the corpus.
+    val buckets = withCsim(emb)
+      .groupBy("vec_id")
+      .agg(max(struct(col("csim"), negate(col("cent_id")).as("negc"),
+        col("cent_id"), col("v"), col("nrm"))).as("m"))
+      .select(col("vec_id").as("c_id"), col("m.cent_id").as("bucket"),
+        col("m.v").as("cv"), col("m.nrm").as("cn"))
     val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
-    val assigned = simToCent
+    val probes = withCsim(emb.filter(col("vec_id") < NQueries))
       .withColumn("crank", row_number().over(wAssign))
       .filter(col("crank") <= 2) // rank 1 = home bucket; 1..2 = probe set
-    val buckets = assigned.filter(col("crank") === 1)
-      .select(col("vec_id").as("c_id"), col("cent_id").as("bucket"),
-        col("v").as("cv"), col("nrm").as("cn"))
-    val probes = assigned.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("cent_id").as("bucket"),
         col("v").as("qv"), col("nrm").as("qn"))
     val wTop = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))

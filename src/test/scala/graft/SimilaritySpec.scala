@@ -64,4 +64,27 @@ class SimilaritySpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
+
+  test("aggregate-argmax bucket assignment equals the window rank-1 spelling") {
+    import graft.functions.VectorFunctions._
+    import org.apache.spark.sql.expressions.Window
+    val emb = core.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", norm2(col("v")))
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("v").as("centv"), col("nrm").as("centn"))
+    val simToCent = emb.join(broadcast(centroids))
+      .withColumn("csim", dot(col("v"), col("centv")) / (col("nrm") * col("centn")))
+    val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
+    val want = simToCent.withColumn("crank", row_number().over(w))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("cent_id").as("bucket"))
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    val got = simToCent.groupBy("vec_id")
+      .agg(max(struct(col("csim"), negate(col("cent_id")).as("negc"), col("cent_id"))).as("m"))
+      .select(col("vec_id"), col("m.cent_id").as("bucket"))
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(got === want)
+  }
+
 }
