@@ -50,6 +50,14 @@ class DedupSpec extends AnyFunSuite {
         plan.take(4000))
   }
 
+  test("q32 inverted-index self-join computes the shingle pipeline once (reused exchange)") {
+    val df = Dedup.ngramJaccardPairs(spark, sf)
+    df.collect() // materialize so the adaptive plan is final
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedQueryStage") || plan.contains("ReusedExchange"),
+      "shingle self-join must share one exchange: " + plan.take(4000))
+  }
+
   test("banded SimHash plan contains no nested-loop join") {
     val plan = Dedup.simhashPairs(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))

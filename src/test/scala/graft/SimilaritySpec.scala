@@ -65,6 +65,14 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("blocked near-dup self-join computes the embedding pipeline once (reused exchange)") {
+    val df = Similarity.embeddingNearDup(spark, sf)
+    df.collect() // materialize so the adaptive plan is final
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedQueryStage") || plan.contains("ReusedExchange"),
+      "label self-join must share one exchange: " + plan.take(4000))
+  }
+
   test("aggregate-argmax bucket assignment equals the window rank-1 spelling") {
     import graft.functions.VectorFunctions._
     import org.apache.spark.sql.expressions.Window
