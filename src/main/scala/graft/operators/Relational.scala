@@ -347,17 +347,24 @@ object Relational {
        |ORDER BY o_orderkey""".stripMargin
 
   /** Latest event per user (reference Q3 top-k-by-time, per key).
-    * Emits epoch micros so nanosecond-precision engines agree. */
-  def latestEventPerUser(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("ts").desc, col("event_id").desc)
+    * Emits epoch micros so nanosecond-precision engines agree.
+    *
+    * Spelled as an aggregate argmax — max(struct(ts, event_id, …)) is
+    * exactly the (ts DESC, event_id DESC) row_number rank 1 the oracle
+    * computes (lexicographic struct max; ties impossible past
+    * event_id) — instead of exchange + sort + window. The struct
+    * buffer plans as SortAggregate, but it sorts on the grouping key
+    * only (not (ts, event_id)), drops the whole window pass, and the
+    * partial aggregate shrinks the shuffle to one row per user per
+    * partition (guide §2.3) — measured 0.75 → 0.41 s interleaved.
+    * RelationalSpec pins equality with the window spelling. */
+  def latestEventPerUser(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") === 1)
-      .select(col("user_id"), col("event_id"),
-        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .groupBy("user_id")
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("m"))
+      .select(col("user_id"), col("m.event_id").as("event_id"),
+        unix_micros(col("m.ts")).as("ts_us"), col("m.event_type").as("event_type"))
       .orderBy("user_id")
-  }
 
   val latestEventPerUserSql: String =
     """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM (
