@@ -103,43 +103,87 @@ object Similarity {
       |  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.35
       |ORDER BY a_id, b_id""".stripMargin
 
-  /** IVF-style approximate NN: codebook = vectors 0..7, assign every
-    * vector to its nearest centroid (broadcast join, one pass), then
-    * probe the query's 2 nearest buckets only. No oracle — approximate
-    * by construction; SimilaritySpec checks recall@K against the
-    * brute-force baseline. */
+  private val CodebookK = 8
+  private val CodebookSampleN = 512
+  private val CodebookIters = 10
+  private val IndexReplication = 2 // corpus vectors indexed in their top-2 buckets
+  private val ProbeBuckets = 3     // queries probe their 3 nearest buckets
+
+  /** Trained IVF codebook: deterministic sampled spherical k-means
+    * (graft.ml.CodebookKMeans) replacing the former `vec_id < 8`
+    * placeholder. That placeholder was worse than arbitrary: vectors
+    * 0..7 are 8 of the 10 query vectors, so each query's neighborhood
+    * piled into its own bucket — recall looked fine for the benchmark
+    * queries while the index carried no pruning guarantee for anything
+    * else (VERDICT r21 item 1). The sample is the CodebookSampleN
+    * vectors smallest by (xxhash64(vec_id) mod 2²⁰, vec_id) — a
+    * seeded pseudo-random, scale-stable choice that plans as
+    * TakeOrderedAndProject (per-partition top-k + driver merge:
+    * bounded driver transfer, no corpus shuffle — the cost shape of
+    * building any broadcast relation). */
+  private def trainedCentroids(s: SparkSession, emb: DataFrame): Seq[Seq[Double]] = {
+    val sample = emb
+      .select(col("v"), pmod(xxhash64(col("vec_id")), lit(1L << 20)).as("h"),
+        col("vec_id"))
+      .orderBy("h", "vec_id")
+      .limit(CodebookSampleN)
+      .select("v")
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    graft.ml.CodebookKMeans.train(sample, CodebookK, CodebookIters)
+      .toSeq.map(_.toSeq)
+  }
+
+  /** Per-row codegen'd bucket assignment against the driver-local
+    * codebook (IvfTopBucketsExpr): top-`top` centroid ids by cosine,
+    * ties to the smaller id. */
+  private def topBuckets(v: org.apache.spark.sql.Column,
+      code: Seq[Seq[Double]], top: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      org.apache.spark.sql.graftbridge.IvfTopBucketsExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(v), code, top))
+
+  /** (vec_id, bucket): primary (rank-1) trained-codebook assignment —
+    * exposed for the bucket-balance spec; not a declared query. */
+  private[graft] def ivfBucketsForSpec(s: SparkSession, d: String): DataFrame = {
+    val emb = withNorm(s, d).select("vec_id", "v", "nrm")
+    val code = trainedCentroids(s, emb)
+    emb.select(col("vec_id").as("c_id"),
+      element_at(topBuckets(col("v"), code, 1), 1).as("bucket"))
+  }
+
+  /** IVF-style approximate NN under the trained codebook.
+    *
+    * Plan shape: bucket assignment is a pure per-row kernel against
+    * the driver-local codebook — scan → project → explode, NO
+    * broadcast join, NO corpus-wide argmax aggregate and no exchange
+    * of the corpus at any scale (the r21 spelling shuffled the whole
+    * corpus once through the assignment aggregate). Corpus vectors are
+    * indexed under their IndexReplication nearest centroids and
+    * queries probe their ProbeBuckets nearest — on this isotropic
+    * fixture corpus single-assignment 2-probe recall is bounded by the
+    * scanned fraction (the old placeholder only looked better because
+    * its "centroids" WERE the queries), and multi-assignment buys the
+    * boundary-vector recall back at a 2× index size, the standard IVF
+    * trade. A candidate surfacing via two probed buckets is collapsed
+    * by the (q_id, c_id) max-aggregate before ranking, so the rank-k
+    * cut sees each pair once. No oracle — approximate by construction;
+    * SimilaritySpec checks recall@K against brute force, bucket
+    * balance and determinism on the fixture. */
   def annIvf(s: SparkSession, d: String): DataFrame = {
     val emb = withNorm(s, d).select("vec_id", "v", "nrm")
-    val centroids = emb.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cent_id"), col("v").as("centv"), col("nrm").as("centn"))
-    val bc = broadcast(centroids)
-    def withCsim(df: DataFrame): DataFrame = df.join(bc)
-      .withColumn("csim", dot(col("v"), col("centv")) / (col("nrm") * col("centn")))
-    // Home bucket per vector as an AGGREGATE argmax — max(struct(csim,
-    // -cent_id, …)) picks exactly the window's (csim DESC, cent_id ASC)
-    // rank 1, deterministically (csim + cent_id are unique per vec).
-    // The previous row_number-window spelling was recomputed once per
-    // consumer (probes' vec_id filter pushed below the window exchange,
-    // so nothing was shared: 7 scans / 6 Windows in the executed plan)
-    // — and at scale that duplicated a corpus-wide window. One hash
-    // aggregate replaces it; the probe ranking runs on the
-    // queries-only frame (NQueries × 8 rows), not the corpus.
-    val buckets = withCsim(emb)
-      .groupBy("vec_id")
-      .agg(max(struct(col("csim"), negate(col("cent_id")).as("negc"),
-        col("cent_id"), col("v"), col("nrm"))).as("m"))
-      .select(col("vec_id").as("c_id"), col("m.cent_id").as("bucket"),
-        col("m.v").as("cv"), col("m.nrm").as("cn"))
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
-    val probes = withCsim(emb.filter(col("vec_id") < NQueries))
-      .withColumn("crank", row_number().over(wAssign))
-      .filter(col("crank") <= 2) // rank 1 = home bucket; 1..2 = probe set
-      .select(col("vec_id").as("q_id"), col("cent_id").as("bucket"),
-        col("v").as("qv"), col("nrm").as("qn"))
+    val code = trainedCentroids(s, emb)
+    val cands = emb.filter(col("vec_id") >= NQueries)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"),
+        explode(topBuckets(col("v"), code, IndexReplication)).as("bucket"))
+    val probes = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(topBuckets(col("v"), code, ProbeBuckets)).as("bucket"))
     val wTop = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
-    buckets.join(broadcast(probes), "bucket")
-      .filter(col("c_id") =!= col("q_id") && col("c_id") >= NQueries)
+    cands.join(broadcast(probes), "bucket")
       .withColumn("sim", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+      .groupBy("q_id", "c_id")
+      .agg(max(col("sim")).as("sim"))
       .withColumn("rank", row_number().over(wTop).cast("long"))
       .filter(col("rank") <= K)
       .select("q_id", "rank", "c_id", "sim")

@@ -73,6 +73,23 @@ class SimilaritySpec extends AnyFunSuite {
       "label self-join must share one exchange: " + plan.take(4000))
   }
 
+  test("trained IVF codebook yields non-degenerate buckets (no bucket > 40% of vectors)") {
+    val buckets = Similarity.ivfBucketsForSpec(spark, sf)
+    val counts = buckets.groupBy("bucket").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val total = counts.values.sum.toDouble
+    assert(total > 0)
+    val maxShare = counts.values.max / total
+    assert(counts.size >= 4, s"degenerate codebook: only ${counts.size} buckets used")
+    assert(maxShare <= 0.40, s"hot bucket holds ${maxShare * 100}%: $counts")
+  }
+
+  test("trained IVF codebook is deterministic across invocations") {
+    def snap() = Similarity.ivfBucketsForSpec(spark, sf)
+      .orderBy("c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(snap() === snap())
+  }
+
   test("aggregate-argmax bucket assignment equals the window rank-1 spelling") {
     import graft.functions.VectorFunctions._
     import org.apache.spark.sql.expressions.Window
