@@ -69,11 +69,57 @@ object DecimalFast {
 
   /** The fast parse, surfaced as a bare unscaled long for the two-long
     * sum kernel (DecimalSum): returns unscaled(Cast(d → DECIMAL(28,10)))
-    * with |u| ≤ 10¹⁸ guaranteed, or Long.MinValue when the plain-
-    * notation fast path does not apply (NaN/Inf, scientific notation,
-    * > MaxIntDigits integer digits) and the caller must take the exact
-    * slow path. */
+    * with |u| ≤ 10¹⁸ guaranteed, or Long.MinValue when the fast paths
+    * do not apply (NaN/Inf, |d| ≥ 10⁸, digit parse rejected) and the
+    * caller must take the exact slow path.
+    *
+    * Two tiers. The integer tier decides U = halfUp(V·10¹⁰) — where
+    * V is the shortest-decimal (Double.toString) value the Cast
+    * contract is defined on — WITHOUT rendering the string: with
+    * d = ±m·2ᵉ exactly, x = |d|·10¹⁰ = (m·5¹⁰) / 2^s for s = −(e+10),
+    * and the shortest-repr guarantee |V−d| ≤ ulp(d)/2 bounds
+    * |V·10¹⁰ − x| by (2ᵉ/2)·10¹⁰ = (10¹⁰/2¹¹)·2^(e+10), i.e. by a
+    * CONSTANT 4882812.5 in rem units of 2^(e+10). halfUp is
+    * discontinuous only at half-integers, so when the distance from
+    * x to the nearest half-integer exceeds that bound, every value
+    * within it — V included, whichever JDK's shortest-repr produced
+    * it — rounds to the same integer, and U follows from pure 128-bit
+    * long arithmetic (m·5¹⁰ < 2⁷⁷). Values within the band (~1e-9 of
+    * uniformly distributed inputs), |d| < 2⁻²¹ (s > 63), |d| ≥ 10⁸
+    * and non-finites fall through to the string tier, which is the
+    * reference definition itself. Equality is property-proven against
+    * the Cast in DecimalFastSpec, including adversarial half-boundary
+    * neighborhoods. */
   def unscaled18OrSentinel(d: Double): Long = {
+    if (d == 0.0) return 0L // covers -0.0: toString "-0.0" parses to -0 = 0
+    val ad = java.lang.Math.abs(d)
+    // window for the integer tier: ad ≥ 4.8e-7 > 2⁻²¹ keeps s ≤ 63
+    // (rem fits one long); ad < 1e8 keeps U ≤ 10¹⁸ (V < 10⁸ because
+    // 10⁸ is exactly representable, so the shortest repr of any
+    // smaller double is smaller). NaN/Inf fail ad < 1e8.
+    if (ad < 1.0e8 && ad >= 4.8e-7) {
+      val bits = java.lang.Double.doubleToRawLongBits(d)
+      val m = (bits & 0x000FFFFFFFFFFFFFL) | 0x0010000000000000L // normal: ad ≫ minNormal
+      val e = ((bits >>> 52) & 0x7FF).toInt - 1075
+      val s = -(e + 10) // 16 ≤ s ≤ 63 within the window
+      val pLo = m * 9765625L // P = m·5¹⁰ (128-bit: pHi:pLo)
+      val pHi = java.lang.Math.multiplyHigh(m, 9765625L)
+      val floor = (pHi << (64 - s)) | (pLo >>> s)
+      val rem = pLo & ((1L << s) - 1) // P mod 2^s (s ≤ 63 ⇒ lo-only)
+      val half = 1L << (s - 1)
+      val dist = java.lang.Math.abs(rem - half)
+      if (dist > 4882812L) { // nearest half-integer beyond the V-uncertainty band
+        val u = if (rem >= half) floor + 1 else floor
+        if (u <= 1000000000000000000L) return if (d < 0) -u else u
+      }
+    }
+    unscaled18Digits(d)
+  }
+
+  /** String tier: parse the plain-notation Double.toString rendering
+    * directly (the value definition). Returns the sentinel for
+    * NaN/Inf, scientific notation and > MaxIntDigits integer digits. */
+  private[graftbridge] def unscaled18Digits(d: Double): Long = {
     if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) return Long.MinValue
     val s = java.lang.Double.toString(d)
     val n = s.length

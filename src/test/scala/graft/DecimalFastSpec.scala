@@ -61,6 +61,74 @@ class DecimalFastSpec extends AnyFunSuite {
     }
   }
 
+  /** unscaled(Cast(d → DECIMAL(28,10))) as BigInt — the value the
+    * parse tiers must reproduce whenever they return a non-sentinel. */
+  private def refUnscaled(d: Double): BigInt = {
+    val dec = Decimal(d)
+    assert(dec.changePrecision(28, 10), s"reference overflow for $d")
+    BigInt(dec.toJavaBigDecimal.unscaledValue())
+  }
+
+  private def checkUnscaled(d: Double): Unit = {
+    val u = DecimalFast.unscaled18OrSentinel(d)
+    if (u != Long.MinValue) {
+      assert(math.abs(u) <= 1000000000000000000L, s"|u| bound broken for $d: $u")
+      assert(BigInt(u) == refUnscaled(d),
+        s"d=$d u=$u ref=${refUnscaled(d)} (toString=${java.lang.Double.toString(d)})")
+    }
+  }
+
+  test("integer-tier unscaled parse equals Cast on half-boundary neighborhoods") {
+    // doubles whose value·10¹⁰ sits as close as possible to k + 0.5 —
+    // exactly the band where the integer tier must hand off to the
+    // string tier rather than guess
+    val rnd = new scala.util.Random(1234)
+    var n = 0
+    while (n < 200000) {
+      val k = rnd.nextLong() % 999999999999999999L
+      val d = (k + 0.5) / 1e10
+      checkUnscaled(d)
+      checkUnscaled(Math.nextUp(d)); checkUnscaled(Math.nextDown(d))
+      checkUnscaled(Math.nextUp(Math.nextUp(d)))
+      checkUnscaled(Math.nextDown(Math.nextDown(d)))
+      // exact-integer multiples of 1e-10 (rounding-free anchors)
+      val di = k / 1e10
+      checkUnscaled(di); checkUnscaled(Math.nextUp(di)); checkUnscaled(Math.nextDown(di))
+      n += 1
+    }
+    // 11-fraction-digit literals ending in 5 (ties in decimal space)
+    for (i <- 0 until 20000) {
+      val head = rnd.nextInt(1000000)
+      val frac = math.abs(rnd.nextLong() % 10000000000L)
+      checkUnscaled(java.lang.Double.parseDouble(s"$head.${"%010d".format(frac)}5"))
+    }
+  }
+
+  test("integer-tier unscaled parse equals Cast on seeded random magnitudes") {
+    val rnd = new scala.util.Random(4242)
+    var n = 0
+    while (n < 2000000) {
+      // log-uniform across the full integer-tier window and beyond
+      val mag = math.pow(10.0, rnd.nextDouble() * 18.0 - 9.0) // 1e-9 .. 1e9
+      checkUnscaled((if (rnd.nextBoolean()) mag else -mag) * rnd.nextDouble())
+      n += 1
+    }
+    // raw bit patterns (any finite double must be value-correct or sentinel)
+    var b = 0
+    while (b < 500000) {
+      val bits = java.lang.Double.longBitsToDouble(rnd.nextLong())
+      if (java.lang.Double.isFinite(bits) && math.abs(bits) < 1e18) checkUnscaled(bits)
+      b += 1
+    }
+    Seq(0.0, -0.0, 1e8, Math.nextDown(1e8), Math.nextUp(1e8), 4.8e-7,
+      Math.nextDown(4.8e-7), 2.4e-7, 1e-10, 5e-11, Math.nextUp(5e-11),
+      Double.MinPositiveValue, Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, Double.MaxValue).foreach { d =>
+      if (java.lang.Double.isFinite(d)) checkUnscaled(d)
+      else assert(DecimalFast.unscaled18OrSentinel(d) == Long.MinValue)
+    }
+  }
+
   test("DataFrame-level: fast expression column equals .cast over the corpus") {
     val li = core.Tables.lineitem(spark, TestSpark.sfDir)
     val exprs = Seq(
