@@ -69,12 +69,27 @@ object TextFunctions {
   val qualityStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
+  /** Reference spelling, kept for the kernel equivalence spec: the
+    * filter lambda is interpreted CodegenFallback — query paths use
+    * tokenStats3 instead. */
   def stopwordCount(toks: Column): Column =
     size(filter(toks, t => t.isin(qualityStopwords: _*)))
 
-  /** Sum of token lengths (for avg-word-length style metrics). */
+  /** Sum of token lengths (for avg-word-length style metrics).
+    * Reference spelling for the spec — interpreted CodegenFallback,
+    * see tokenStats3. */
   def tokenCharSum(toks: Column): Column =
     aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x)
+
+  /** [n_tokens, n_stop, char_sum] in ONE codegen'd byte scan over the
+    * raw text — no token array materialized, no interpreted HOF lambda
+    * (TokenStatsExpr; equality with the size/filter/aggregate spelling
+    * proven in TextFunctionsSpec). */
+  def tokenStats3(c: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      org.apache.spark.sql.graftbridge.TokenStatsExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c),
+        qualityStopwords))
 
   /** Content-defined document fingerprint: md5 over the cleaned text.
     * Stable across engines (unlike murmur/xxhash whose seeds differ),

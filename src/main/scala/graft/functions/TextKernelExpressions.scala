@@ -88,6 +88,60 @@ object TextKernelUtil {
     (words.toArray, idx.toArray, sets.size)
   }
 
+  /** One-pass token statistics over the SAME token boundaries as
+    * wsTokens: [token count, stopword hits, char sum], where "char"
+    * counts code points exactly like Spark's length() (UTF-8 lead
+    * bytes) and a stopword hit is exact string equality against the
+    * packed word list (same 1..7-byte packing as the marker kernel).
+    * The strip-to-empty edge mirrors wsTokens' [""] result: one token,
+    * zero stopwords, zero chars. Equivalent to
+    * (size(toks), size(filter(toks, isin(stop))), aggregate(transform(
+    * toks, length), 0, +)) over toks = wsTokens(s) — the HOF spelling
+    * is interpreted CodegenFallback and re-walks the token array three
+    * times — except that char_sum accumulates in a long where the HOF's
+    * int accumulator would overflow-throw under ANSI (needs a single
+    * document of ≥ 2³¹ chars; unreachable, and wider-exact is the safe
+    * direction). Property-proven equal in TextFunctionsSpec. */
+  def tokenStats(s: UTF8String, stopPacked: Array[Long]): ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val n = s.numBytes
+    var lo = 0
+    while (lo < n && isWs(Platform.getByte(base, off + lo))) lo += 1
+    var hi = n
+    while (hi > lo && isWs(Platform.getByte(base, off + hi - 1))) hi -= 1
+    if (lo >= hi) return new GenericArrayData(Array[Any](1L, 0L, 0L))
+    var nTok = 0L
+    var nStop = 0L
+    var chars = 0L
+    var i = lo
+    while (i < hi) {
+      // stripped interior: i starts on a non-ws byte
+      var j = i
+      var v = 0L
+      var len = 0
+      while (j < hi && !isWs(Platform.getByte(base, off + j))) {
+        val b = Platform.getByte(base, off + j)
+        if ((b & 0xC0) != 0x80) chars += 1 // UTF-8 lead byte = one code point
+        if (len < 7) v |= (b & 0xFFL) << (8 * (len + 1))
+        len += 1
+        j += 1
+      }
+      nTok += 1
+      if (len <= 7) {
+        v |= len.toLong
+        var w = 0
+        while (w < stopPacked.length) {
+          if (stopPacked(w) == v) { nStop += 1; w = stopPacked.length }
+          else w += 1
+        }
+      }
+      i = j + 1
+      while (i < hi && isWs(Platform.getByte(base, off + i))) i += 1
+    }
+    new GenericArrayData(Array[Any](nTok, nStop, chars))
+  }
+
   /** java.util.regex \b neighbor test: the default (non-UNICODE_
     * CHARACTER_CLASS) Bound node treats '_' and any Unicode
     * letter-or-digit as a word character — deliberately WIDER than \w.
@@ -162,6 +216,33 @@ object TextKernelUtil {
   }
 }
 
+/** string → array<long> [n_tokens, n_stop, char_sum]: everything q23's
+  * three per-doc token statistics need, in ONE byte scan with NO token
+  * array materialized (see TextKernelUtil.tokenStats). */
+case class TokenStatsExpr(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_token_stats"
+
+  // eager validation: a bad stopword list must fail at plan time, not
+  // per task at first evaluation
+  private val packed: Array[Long] = TextKernelUtil.compile(Seq(stopwords))._1
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernelUtil.tokenStats(input.asInstanceOf[UTF8String], packed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val stopRef = ctx.addReferenceObj("stopWords", packed, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graftbridge.TextKernelUtil.tokenStats($c, $stopRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** string → array<string> whitespace tokens (split(pyStrip(c), "\s+")
   * parity, see TextKernelUtil.wsTokens). */
 case class WsTokensExpr(child: Expression)
@@ -189,7 +270,9 @@ case class MarkerCountsExpr(child: Expression, sets: Seq[Seq[String]])
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "graft_marker_counts"
 
-  @transient private lazy val compiled = TextKernelUtil.compile(sets)
+  // eager: a marker list violating the pack/disjointness constraints
+  // must fail at plan construction, not per task at first evaluation
+  private val compiled = TextKernelUtil.compile(sets)
 
   override protected def nullSafeEval(input: Any): Any = {
     val (w, si, n) = compiled

@@ -63,11 +63,13 @@ object TextQueries {
       |       ELSE 'Unknown sentiment' END AS sentiment
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Token counting: whitespace tokenization + char accounting. */
+  /** Token counting: whitespace tokenization + char accounting. The
+    * token count comes from the one-pass stats kernel (element 1), so
+    * no token array is allocated just to be counted. */
   def tokenStats(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), col("n_chars"),
-        tokenCount(col("text")).cast("long").as("n_tokens"),
+        element_at(tokenStats3(col("text")), 1).as("n_tokens"),
         length(col("text")).cast("long").as("len_chars"))
       .withColumn("chars_match", col("n_chars") === col("len_chars"))
       .orderBy("doc_id")
@@ -82,17 +84,19 @@ object TextQueries {
   /** Quality scoring: stopword ratio, mean token length, bucketing —
     * the length/punct/stopword heuristics of a pretraining filter. */
   def qualityScore(s: SparkSession, d: String): DataFrame = {
-    // tokenize ONCE: the three stat columns all consume the same token
-    // array, and inlining tokens() into each would re-run the two
-    // strip/split regexes three times per row (CollapseProject keeps
-    // the two-level projection because the alias is non-cheap and
-    // referenced three times)
+    // ALL three stats in one byte-scan kernel (TokenStatsExpr): the
+    // r21 spelling tokenized once but then walked the token array
+    // three more times, two of them through interpreted CodegenFallback
+    // lambdas (filter/aggregate HOFs) — the last interpreted
+    // expressions in a hot path. Two-level projection so the kernel
+    // evaluates once (CollapseProject keeps non-cheap multiply-
+    // referenced aliases).
     Tables.documents(s, d)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), tokenStats3(col("text")).as("st"))
       .select(col("doc_id"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        stopwordCount(col("toks")).cast("long").as("n_stop"),
-        tokenCharSum(col("toks")).cast("long").as("char_sum"))
+        element_at(col("st"), 1).as("n_tokens"),
+        element_at(col("st"), 2).as("n_stop"),
+        element_at(col("st"), 3).as("char_sum"))
       .withColumn("stop_ratio", round(col("n_stop") / col("n_tokens"), 6))
       .withColumn("avg_token_len", round(col("char_sum") / col("n_tokens"), 6))
       .withColumn("quality",

@@ -125,6 +125,33 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(n.isNullAt(0))
   }
 
+  test("one-pass token stats equal the size/filter/aggregate HOF spelling") {
+    val adv = (advStrings ++ Seq(
+      "the THE The the. ,the the,", // stopword must be exact-equal, not substring
+      "it is a an and or of to in the", // every stopword once
+      "itit isis aa anan theandof", // near-misses longer than the words
+      "a é the 𝄞 of", // multibyte + surrogate-pair tokens
+      "seven77 eight888 is")).toDF("text")
+    val docs = core.Tables.documents(spark, TestSpark.sfDir).select("text")
+    Seq(adv, docs).foreach { df =>
+      val toks = TextFunctions.tokens(col("text"))
+      val checked = df.select(
+        TextFunctions.tokenStats3(col("text")).as("st"),
+        size(toks).cast("long").as("e_n"),
+        TextFunctions.stopwordCount(toks).cast("long").as("e_stop"),
+        TextFunctions.tokenCharSum(toks).cast("long").as("e_chars"))
+      val bad = checked.filter(not(
+        element_at(col("st"), 1) <=> col("e_n") &&
+        element_at(col("st"), 2) <=> col("e_stop") &&
+        element_at(col("st"), 3) <=> col("e_chars")))
+      assert(bad.count() === 0L, checked.collect().mkString("\n").take(2000))
+    }
+    // null propagates
+    val n = Seq[Option[String]](None).toDF("text")
+      .select(TextFunctions.tokenStats3(col("text"))).head()
+    assert(n.isNullAt(0))
+  }
+
   test("one-pass marker counts equal the four regexp_extract_all scans") {
     import graft.operators.TextQueries._
     val sets = Seq(enMarkers, frMarkers, esMarkers, deMarkers)
