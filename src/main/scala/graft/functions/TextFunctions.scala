@@ -19,14 +19,36 @@ object TextFunctions {
     * deletes via str.translate (reference src/utils.py:9). */
   val asciiPunctuation: String = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"
 
-  /** F1: strip URLs (reference src/utils.py:6). */
+  /** F1: strip URLs (reference src/utils.py:6). Reference spelling for
+    * the spec — query paths use stripNoise. */
   def stripUrls(c: Column): Column = regexp_replace(c, "http\\S+|www\\S+", "")
 
-  /** F2: strip @mentions (reference src/utils.py:7). */
+  /** F2: strip @mentions (reference src/utils.py:7). Reference
+    * spelling for the spec. */
   def stripMentions(c: Column): Column = regexp_replace(c, "@\\w+", "")
 
-  /** F3: strip #hashtags (reference src/utils.py:8). */
+  /** F3: strip #hashtags (reference src/utils.py:8). Reference
+    * spelling for the spec. */
   def stripHashtags(c: Column): Column = regexp_replace(c, "#\\w+", "")
+
+  /** F1–F3 in ONE codegen'd byte scan (StripNoiseExpr): equality with
+    * the three sequential regexp_replace passes is property-proven in
+    * TextFunctionsSpec — those were three full java.util.regex passes
+    * per row, the dominant cost of q20/q25. */
+  def stripNoise(c: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      org.apache.spark.sql.graftbridge.StripNoiseExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
+
+  /** F1–F4 fused: the noise scan with the punctuation translate-delete
+    * applied to each surviving byte — per-character deletions commute
+    * with the emit order, so this equals
+    * dropPunctuation(stripNoise(c)) exactly (property-proven). */
+  def stripNoiseAndPunct(c: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      org.apache.spark.sql.graftbridge.StripNoiseExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c),
+        asciiPunctuation))
 
   /** F4: delete ASCII punctuation (reference src/utils.py:9). */
   def dropPunctuation(c: Column): Column = translate(c, asciiPunctuation, "")
@@ -43,9 +65,10 @@ object TextFunctions {
     * runs; TextFunctionsSpec proves it) without the per-row regex. */
   def pyStrip(c: Column): Column = trim(c, wsChars)
 
-  /** F1–F5 chained in reference order (src/utils.py:5-10). */
+  /** F1–F5 chained in reference order (src/utils.py:5-10); F1–F4 run
+    * as the fused byte-scan kernel. */
   def cleanText(c: Column): Column =
-    pyStrip(lower(dropPunctuation(stripHashtags(stripMentions(stripUrls(c))))))
+    pyStrip(lower(stripNoiseAndPunct(c)))
 
   /** F6: label decode — 1→Positive, 0→Negative, else Unknown
     * (reference src/predict.py:84-92). */

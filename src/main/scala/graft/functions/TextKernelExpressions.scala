@@ -142,6 +142,105 @@ object TextKernelUtil {
     new GenericArrayData(Array[Any](nTok, nStop, chars))
   }
 
+  /** One byte scan reproducing the three sequential regexp_replace
+    * deletions of clean_text — regexp_replace(regexp_replace(
+    * regexp_replace(s, "http\S+|www\S+", ""), "@\w+", ""), "#\w+", "")
+    * — exactly (TextFunctionsSpec proves equality per pass-composition
+    * over corpus + adversarial inputs). Every character class and
+    * literal involved is pure ASCII, so byte-level scanning sees the
+    * regex engine's boundaries (multi-byte UTF-8 units are ≥ 0x80:
+    * non-\s, non-\w).
+    *
+    * Why one scan is enough (the pass interactions are bounded):
+    *  - a URL match's greedy \S+ always extends to the END of its
+    *    non-whitespace run, so pass 1 just truncates each run at the
+    *    leftmost URL start — later passes see truncated runs and no
+    *    new intra-run adjacency is ever created by pass 1;
+    *  - a mention match's greedy \w+ means the character following any
+    *    pass-2 deletion is non-\w, so pass 2 can never create a new
+    *    mention, and '@' decisions are local to the pass-1 stream;
+    *  - the only cross-pass effect left is a '#' whose \w+ begins
+    *    after a CHAIN of deleted mentions ("#@x@y7abc" → pass 2 →
+    *    "#abc" → pass 3 → "") — handled by skipping the mention chain
+    *    in the '#' lookahead;
+    *  - pass 3 runs AFTER pass 2, so text joined by a hashtag deletion
+    *    is never re-examined for mentions ("@#x" → "@"), which the
+    *    left-to-right single scan reproduces for free. */
+  /** Bitmap of ASCII bytes to drop at emit time (the translate-delete
+    * pass of clean_text). Deleting punctuation AFTER the noise strip
+    * commutes with emitting survivors during it: both are per-
+    * character deletions over the noise-stripped stream. Bytes ≥ 0x80
+    * (multi-byte UTF-8) index the upper half, which is always false —
+    * translate passes non-mapped characters through. */
+  def punctTable(chars: String): Array[Boolean] = {
+    val t = new Array[Boolean](256)
+    chars.foreach { c => require(c < 128, s"non-ASCII punct '$c'"); t(c) = true }
+    t
+  }
+
+  def stripNoise(s: UTF8String, drop: Array[Boolean]): UTF8String = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val n = s.numBytes
+    val out = new Array[Byte](n)
+    var o = 0
+    var i = 0
+    while (i < n) {
+      val b = Platform.getByte(base, off + i)
+      if (isWs(b)) {
+        if (!drop(b & 0xFF)) { out(o) = b; o += 1 }
+        i += 1
+      } else {
+        var re = i + 1
+        while (re < n && !isWs(Platform.getByte(base, off + re))) re += 1
+        // pass 1: truncate the run at the leftmost URL start
+        var eff = re
+        var j = i
+        while (j < eff) {
+          val c = Platform.getByte(base, off + j)
+          if (c == 'h' && j + 4 < re &&
+              Platform.getByte(base, off + j + 1) == 't' &&
+              Platform.getByte(base, off + j + 2) == 't' &&
+              Platform.getByte(base, off + j + 3) == 'p') eff = j
+          else if (c == 'w' && j + 3 < re &&
+              Platform.getByte(base, off + j + 1) == 'w' &&
+              Platform.getByte(base, off + j + 2) == 'w') eff = j
+          else j += 1
+        }
+        // passes 2+3 within the truncated run
+        var p = i
+        while (p < eff) {
+          val c = Platform.getByte(base, off + p)
+          if (c == '@' && p + 1 < eff && isWord(Platform.getByte(base, off + p + 1))) {
+            p += 1
+            while (p < eff && isWord(Platform.getByte(base, off + p))) p += 1
+          } else if (c == '#') {
+            var q = p + 1 // lookahead across any deleted-mention chain
+            while (q + 1 < eff && Platform.getByte(base, off + q) == '@' &&
+                isWord(Platform.getByte(base, off + q + 1))) {
+              q += 1
+              while (q < eff && isWord(Platform.getByte(base, off + q))) q += 1
+            }
+            if (q < eff && isWord(Platform.getByte(base, off + q))) {
+              p = q + 1 // drop '#', the mention chain, and the word run
+              while (p < eff && isWord(Platform.getByte(base, off + p))) p += 1
+            } else {
+              if (!drop(c & 0xFF)) { out(o) = c; o += 1 }
+              p += 1
+            }
+          } else {
+            if (!drop(c & 0xFF)) { out(o) = c; o += 1 }
+            p += 1
+          }
+        }
+        i = re // [eff, re) is the deleted URL tail
+      }
+    }
+    UTF8String.fromBytes(out, 0, o)
+  }
+
+  private[graftbridge] val NoDrop: Array[Boolean] = new Array[Boolean](256)
+
   /** java.util.regex \b neighbor test: the default (non-UNICODE_
     * CHARACTER_CLASS) Bound node treats '_' and any Unicode
     * letter-or-digit as a word character — deliberately WIDER than \w.
@@ -214,6 +313,34 @@ object TextKernelUtil {
     while (c < nSets) { out(c) = counts(c); c += 1 }
     new GenericArrayData(out)
   }
+}
+
+/** string → string: the URL/mention/hashtag deletions of clean_text in
+  * one byte scan; `dropChars` optionally fuses the subsequent
+  * translate-delete pass into the same scan at zero cost (see
+  * TextKernelUtil.stripNoise). */
+case class StripNoiseExpr(child: Expression, dropChars: String = "")
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_strip_noise"
+
+  // eager: non-ASCII drop chars must fail at plan construction
+  private val drop: Array[Boolean] =
+    if (dropChars.isEmpty) TextKernelUtil.NoDrop
+    else TextKernelUtil.punctTable(dropChars)
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernelUtil.stripNoise(input.asInstanceOf[UTF8String], drop)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val dropRef = ctx.addReferenceObj("dropChars", drop, "boolean[]")
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graftbridge.TextKernelUtil.stripNoise($c, $dropRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** string → array<long> [n_tokens, n_stop, char_sum]: everything q23's

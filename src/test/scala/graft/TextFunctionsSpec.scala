@@ -125,6 +125,50 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(n.isNullAt(0))
   }
 
+  test("one-pass noise strip equals the three sequential regexp_replace passes") {
+    val noiseAdv = Seq(
+      "", " ", "plain text only",
+      "http://a.b x", "www.a.b x", "xhttp://a y", "ahttpb", "awwwb", "wwhttpx",
+      "http", "www", "http ", "www ", "htt p", "wwww", "#http", "@httpx",
+      "x@httpyy z", "pre http://u post", "two http://a http://b urls",
+      "@user x", "@@abc", "@a@b", "x@y#z", "@x#y", "#@abc", "#@#x", "x#@ay",
+      "#tag y", "##x", "#x#y", "#ab@cd ef", "#ab@cd-x", "#ab@cdxy", "@#x y",
+      "@#ab", "#@x@y7abc", "#@x-abc", "#@xy7abc", "#@x abc", "#", "@", "#@",
+      "a# b@ c", "é@x #é #aé @aé", "@é", "#é", "mid#tag mid@user",
+      "@_x #_y", "@1 #2", "trail@ trail# ",
+      "  #Tag @user http://x.com/a?b=1 words READ!!\t")
+    val adv = (advStrings ++ noiseAdv).toDF("text")
+    val docs = core.Tables.documents(spark, TestSpark.sfDir).select("text")
+    val messy = docs.select(concat(lit("  #Tag @user http://x.com/a?b=1 "),
+      col("text"), lit(" READ!!\t")).as("text"))
+    val ref = (c: org.apache.spark.sql.Column) =>
+      TextFunctions.stripHashtags(TextFunctions.stripMentions(TextFunctions.stripUrls(c)))
+    Seq(adv, docs, messy).foreach { df =>
+      val bad = df.filter(not(
+        TextFunctions.stripNoise(col("text")) <=> ref(col("text")) &&
+        TextFunctions.stripNoiseAndPunct(col("text")) <=>
+          TextFunctions.dropPunctuation(ref(col("text")))))
+      assert(bad.count() === 0L,
+        bad.select(col("text"), TextFunctions.stripNoise(col("text")), ref(col("text")))
+          .collect().mkString("\n").take(2000))
+    }
+    // null propagates
+    val nl = Seq[Option[String]](None).toDF("text")
+      .select(TextFunctions.stripNoise(col("text"))).head()
+    assert(nl.isNullAt(0))
+    // randomized: seeded strings over a hostile alphabet
+    val rnd = new scala.util.Random(99)
+    val alpha = "h t p w @ # a 7 _ - é ".split(" ").mkString + "htpw@#a"
+    val fuzz = (1 to 4000).map { _ =>
+      val len = rnd.nextInt(24)
+      (1 to len).map(_ => alpha.charAt(rnd.nextInt(alpha.length))).mkString
+    }.toDF("text")
+    assert(fuzz.filter(not(
+      TextFunctions.stripNoise(col("text")) <=> ref(col("text")) &&
+      TextFunctions.stripNoiseAndPunct(col("text")) <=>
+        TextFunctions.dropPunctuation(ref(col("text"))))).count() === 0L)
+  }
+
   test("one-pass token stats equal the size/filter/aggregate HOF spelling") {
     val adv = (advStrings ++ Seq(
       "the THE The the. ,the the,", // stopword must be exact-equal, not substring
