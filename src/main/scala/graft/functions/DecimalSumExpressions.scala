@@ -23,9 +23,11 @@ import org.apache.spark.sql.types.{AbstractDataType, BooleanType, DataType, Deci
   * (codegen'd, allocation-free) and the exact DECIMAL(38,10) value is
   * materialized once per group. Every value a DECIMAL(28,10) can hold
   * splits exactly (|unscaled| < 10²⁸ → hi < 10¹⁰), and the two-long
-  * window covers |sum| < ~9.2·10²⁶, beyond the magnitude at which the
-  * built-in Sum's own DECIMAL(38,10) overflow check fires for this
-  * input domain. Equivalence to `sum(cast(c as DECIMAL(28,10)))` is
+  * window covers |sum| < ~9.2·10²⁶ — ~10× narrower than DECIMAL(38,10),
+  * unreachable for this input domain, and GUARDED: the hi accumulator
+  * update is an overflow-checked add (CheckedHiAdd), so an
+  * out-of-window sum throws like built-in Sum instead of wrapping.
+  * Equivalence to `sum(cast(c as DECIMAL(28,10)))` is
   * property-proven in DecimalFastSpec (grouped, windowed, null and
   * slow-path inputs) and gated by the DuckDB oracle.
   */
@@ -50,6 +52,28 @@ object DecimalSum {
   def slowLo18(d: Double): Long =
     DecimalFast.toDec2810(d).toJavaBigDecimal.unscaledValue()
       .remainder(BaseBig).longValue()
+
+  /** Loud-failure bound for the hi accumulator: 9·10¹⁸ < 2⁶³ − 10¹⁰ − 1,
+    * so a sum that passed the check on one row cannot wrap on the next
+    * (per-row |inHi| < 10¹⁰, carry ±1) — the guard always fires before
+    * two's-complement wraparound can produce a plausible value. */
+  private val HiGuard = 9000000000000000000L
+
+  /** a + b with loud failure once the hi accumulator leaves the exact
+    * window: true two's-complement overflow is caught by the sign
+    * trick (required on the MERGE path, where both operands are
+    * partials up to the guard bound and a single add can wrap), and
+    * the guard band keeps the pre-wrap margin on the per-row update
+    * path. Throws like built-in Sum's decimal-overflow signal instead
+    * of silently wrapping (the two-long window is ~10× narrower than
+    * DECIMAL(38,10)'s). One add + two predictable compares per row. */
+  def checkedHiAdd(a: Long, b: Long): Long = {
+    val r = a + b
+    if (((a ^ r) & (b ^ r)) < 0 || r > HiGuard || r < -HiGuard)
+      throw new ArithmeticException(
+        "graft_sum128 overflow: |sum| exceeds the exact two-long window (~9e26)")
+    r
+  }
 
   /** (hi, lo) → the exact DECIMAL(38,10) value hi·10¹⁸ + lo. Compact
     * long-backed when hi carries nothing, so downstream casts stay on
@@ -89,8 +113,11 @@ case class UnscaledOrSentinel(child: Expression)
 }
 
 /** Exact hi-part of the decimal split for fast-path-rejected doubles
-  * (rare: |d| ≥ 10⁸, scientific notation; NaN/Inf throw exactly as the
-  * reference cast does). Only evaluated behind a sentinel check. */
+  * (rare: |d| ≥ 10⁸ and sub-2⁻²¹ magnitudes). NaN/Inf throw here
+  * (NumberFormatException via Decimal(NaN)) where Spark's non-ANSI
+  * Cast would return NULL — a deliberate loud-failure divergence,
+  * unreachable for the benchmark domain, shared with toDec2810.
+  * Only evaluated behind a sentinel check. */
 case class SlowSplitHi(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
@@ -124,6 +151,27 @@ case class SlowSplitLo(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** (long, long) → long overflow-checked hi-accumulator add
+  * (DecimalSum.checkedHiAdd) — out-of-window sums fail loudly like
+  * built-in Sum instead of wrapping. */
+case class CheckedHiAdd(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_checked_hi_add"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DecimalSum.checkedHiAdd(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.sql.graftbridge.DecimalSum.checkedHiAdd($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** (hi, lo) longs → exact DECIMAL(38,10); evaluated once per group. */
@@ -193,7 +241,9 @@ case class SumScaled128(
     val carry = If(GreaterThanOrEqual(newLo, base), Literal(1L),
       If(LessThanOrEqual(newLo, Literal(-DecimalSum.Base)), Literal(-1L), Literal(0L)))
     Seq(
-      legacyAdd(legacyAdd(curHi, inHi), carry),
+      // guarded hi add: out-of-window |sum| throws instead of wrapping
+      // (inner add is safe: |inHi| is in-window on both paths, |carry| ≤ 1)
+      CheckedHiAdd(curHi, legacyAdd(inHi, carry)),
       Subtract(newLo, Multiply(carry, base, EvalMode.LEGACY), EvalMode.LEGACY))
   }
 

@@ -132,4 +132,30 @@ class SumScaledSpec extends AnyFunSuite {
     val want = df.groupBy("g").agg(refSum(col("v")).cast(DecimalType(38, 10)).as("s")).orderBy("g")
     assert(got.collect().toSeq === want.collect().toSeq)
   }
+
+  test("hi-guard torture: out-of-window sums fail loudly instead of wrapping") {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, SumScaled128}
+    import spark.implicits._
+    // scalar: the guard bound and true-wrap detection
+    assert(DecimalSum.checkedHiAdd(8999999999999999999L, 1L) === 9000000000000000000L)
+    assert(DecimalSum.checkedHiAdd(-8999999999999999999L, -1L) === -9000000000000000000L)
+    intercept[ArithmeticException](DecimalSum.checkedHiAdd(9000000000000000000L, 1L))
+    intercept[ArithmeticException](DecimalSum.checkedHiAdd(-9000000000000000000L, -1L))
+    // a single merge-path add that wraps clean past the band
+    intercept[ArithmeticException](DecimalSum.checkedHiAdd(8e18.toLong, 8e18.toLong))
+    // executor path: feed the aggregate raw (hi, lo) parts whose hi sum
+    // crosses the window (unreachable from real doubles in a test-sized
+    // corpus — |inHi| < 1e10 needs ~9e8 rows — so craft the parts)
+    def sumOf(his: Seq[Long]): Seq[org.apache.spark.sql.Row] = {
+      val df = his.map(h => (h, 0L)).toDF("hi", "lo")
+      val agg = ColumnBridge.column(SumScaled128(
+        ColumnBridge.expression(col("hi")),
+        ColumnBridge.expression(col("lo"))).toAggregateExpression())
+      df.agg(agg.as("s")).collect().toSeq
+    }
+    assert(sumOf(Seq(4000000000000000000L, 4000000000000000000L)).nonEmpty) // 8e18: in window
+    val e = intercept[org.apache.spark.SparkException](
+      sumOf(Seq(4000000000000000000L, 4000000000000000000L, 4000000000000000000L)))
+    assert(e.getCause.toString.contains("graft_sum128 overflow"), e.toString)
+  }
 }
