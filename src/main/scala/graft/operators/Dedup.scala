@@ -66,47 +66,38 @@ object Dedup {
       .select(col("doc_id"),
         array_distinct(wordShingles(tokens(col("text")), 3)).as("sh_arr"))
 
-  private def shingled(s: SparkSession, d: String,
-                       maxDocId: Long = 1000L): DataFrame =
-    withShingleArr(s, d, maxDocId)
-      .select(col("doc_id"), explode(col("sh_arr")).as("shingle"))
-
-  /** `shingled`, hash-partitioned on the shingle — the inverted-index
-    * self-join's key — so BOTH self-join sides hang off one exchange
-    * (ReuseExchange) instead of the planner broadcasting one side and
-    * recomputing the whole scan → tokenize → shingle → explode
-    * pipeline for it. Same move as the LSH band join; also the only
-    * shape that survives at corpus scale, where the exploded index is
-    * corpus-sized and unbroadcastable (hot-shingle skew is AQE's skew
-    * join's job). */
-  private def shingledByShingle(s: SparkSession, d: String,
+  /** Inverted-index rows carrying each doc's |shingle set| alongside
+    * the exploded shingle — the count rides the index for 8 bytes/row,
+    * so Jaccard's denominators need no second evaluation of the
+    * scan → tokenize → shingle pipeline and no count-joins downstream.
+    * Hash-partitioned on the shingle — the self-join's key — so BOTH
+    * self-join sides hang off one exchange (ReuseExchange) instead of
+    * the planner broadcasting one side and recomputing the pipeline
+    * for it. Also the only shape that survives at corpus scale, where
+    * the exploded index is corpus-sized and unbroadcastable
+    * (hot-shingle skew is AQE's skew join's job). */
+  private def shingledWithCount(s: SparkSession, d: String,
                                 maxDocId: Long): DataFrame =
-    shingled(s, d, maxDocId).repartition(col("shingle"))
-
-  /** |shingle set| per doc, straight off the array — identical to
-    * exploding and re-aggregating (explode drops empty-array docs; so
-    * does the n_sh > 0 filter) but with no groupBy shuffle and no
-    * second evaluation of the shingle pipeline. */
-  private def shingleCounts(s: SparkSession, d: String,
-                            maxDocId: Long): DataFrame =
     withShingleArr(s, d, maxDocId)
-      .select(col("doc_id"), size(col("sh_arr")).cast("long").as("n_sh"))
-      .filter(col("n_sh") > 0)
+      .select(col("doc_id"), size(col("sh_arr")).cast("long").as("n_sh"),
+        explode(col("sh_arr")).as("shingle"))
+      .repartition(col("shingle"))
 
   /** Exact n-gram Jaccard near-dup pairs via a shingle inverted index:
-    * explode → self-equi-join on shingle → |∩| per pair → Jaccard. */
+    * explode → self-equi-join on shingle → |∩| per pair → Jaccard.
+    * Grouping by (a_id, b_id, a_n, b_n) equals grouping by (a_id,
+    * b_id) — the counts are functions of the ids — which turns the
+    * former two count-joins + counts aggregate into two extra group
+    * columns (oracle hash green). */
   def ngramJaccardPairs(s: SparkSession, d: String,
                         maxDocId: Long = 1000L): DataFrame = {
-    val sh = shingledByShingle(s, d, maxDocId)
-    val counts = shingleCounts(s, d, maxDocId)
-    val inter = sh.as("a")
+    val sh = shingledWithCount(s, d, maxDocId)
+    sh.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
         col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.n_sh").as("a_n"), col("b.n_sh").as("b_n"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(counts.select(col("doc_id").as("a_id"), col("n_sh").as("a_n")), "a_id")
-      .join(counts.select(col("doc_id").as("b_id"), col("n_sh").as("b_n")), "b_id")
       .withColumn("jaccard",
         round(col("n_inter") / (col("a_n") + col("b_n") - col("n_inter")), 6))
       .filter(col("jaccard") >= 0.5)
@@ -208,25 +199,25 @@ object Dedup {
     // and broadcasts when it fits — an unconditional hint would OOM
     // the driver if candidates ever blow up at corpus scale.
     //
-    // ONE doc_id-partitioned exchange feeds both verification joins
-    // AND the per-doc counts: HashPartitioning(doc_id) satisfies the
-    // a_id join outright and the (b_id, shingle) join by subset, and
-    // the counts aggregate needs no re-shuffle — so the scan →
-    // tokenize → shingle → explode pipeline runs once instead of
-    // three times (ReuseExchange; measured 0.73 → 0.54 s). Counting
-    // off the exploded rows equals shingleCounts: explode drops
-    // zero-shingle docs exactly as its n_sh > 0 filter did, and docs
-    // joined here always appear in pairs (≥ 1 shingle).
-    val shD = shingled(s, d, maxDocId).repartition(col("doc_id"))
-    val counts = shD.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = cand
-      .join(shD.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
-      .join(shD.select(col("doc_id").as("b_id"), col("shingle")), Seq("b_id", "shingle"))
-      .groupBy("a_id", "b_id")
+    // ONE doc_id-partitioned exchange feeds both verification joins:
+    // HashPartitioning(doc_id) satisfies the a_id join outright and
+    // the (b_id, shingle) join by subset, so the scan → tokenize →
+    // shingle → explode pipeline runs once (ReuseExchange; r21
+    // measured 0.73 → 0.54 s). Each index row carries its doc's
+    // |shingle set| (8 bytes/row), so Jaccard's denominators are two
+    // extra group columns — functions of (a_id, b_id), same groups —
+    // instead of a counts aggregate plus two more joins (r22).
+    val shD = withShingleArr(s, d, maxDocId)
+      .select(col("doc_id"), size(col("sh_arr")).cast("long").as("n_sh"),
+        explode(col("sh_arr")).as("shingle"))
+      .repartition(col("doc_id"))
+    cand
+      .join(shD.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"),
+        col("shingle")), "a_id")
+      .join(shD.select(col("doc_id").as("b_id"), col("n_sh").as("b_n"),
+        col("shingle")), Seq("b_id", "shingle"))
+      .groupBy("a_id", "b_id", "a_n", "b_n")
       .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(counts.select(col("doc_id").as("a_id"), col("n_sh").as("a_n")), "a_id")
-      .join(counts.select(col("doc_id").as("b_id"), col("n_sh").as("b_n")), "b_id")
       .withColumn("jaccard",
         round(col("n_inter") / (col("a_n") + col("b_n") - col("n_inter")), 6))
       .filter(col("jaccard") >= 0.5)
