@@ -58,7 +58,17 @@ object QueryUtils {
   /** Exact sum of cast(d → DECIMAL(28,10)) as DECIMAL(38,10), computed
     * by the two-long SumScaled128 kernel (bit-identical to the built-in
     * Sum over the cast — see DecimalFastSpec — without its per-row
-    * BigDecimal buffer churn). `u` must be `unscaled18(d)`. */
+    * BigDecimal buffer churn).
+    *
+    * CONTRACT: `u` MUST be the pre-projected `unscaled18(d)` of the
+    * SAME expression `d` — nothing here can verify the pairing (both
+    * are opaque Columns at this point), and a mismatched pair
+    * type-checks but sums garbage. Convention at every call site: the
+    * parse column is named `u_<x>`/`_u` and is created by
+    * `withColumn("u_x", unscaled18(col("x")))` immediately above the
+    * aggregate that consumes it, so the pairing is reviewable in one
+    * screenful. The oracle gate backstops the convention: a wrong
+    * pairing cannot produce the Cast-sum the DuckDB replay computes. */
   def sumDec(u: Column, d: Column): Column = {
     val (hi, lo) = parts(u, d)
     ColumnBridge.column(SumScaled128(hi, lo).toAggregateExpression())
