@@ -56,10 +56,16 @@ object WindowQueries {
     * via lag + running sum — the batch face of what
     * mapGroupsWithState/session_window does in streaming). */
   def sessionize(s: SparkSession, d: String): DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    // order by the derived epoch-micros column, not the timestamp it
+    // mirrors: unix_micros is monotone-bijective on TimestampType, so
+    // the window order is identical, and the raw ts column no longer
+    // rides the exchange + sort (8 bytes/row; it was carried ONLY for
+    // the ordering)
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
     val gapUs = 30L * 60 * 1000000
     Tables.events(s, d)
       .withColumn("ts_us", unix_micros(col("ts")))
+      .select("event_id", "user_id", "value", "ts_us")
       .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
       .withColumn("new_sess",
         when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1)
