@@ -28,17 +28,32 @@ object MlQueries {
     """SELECT label::BIGINT AS label, vec_id % 10 AS pred, count(*) AS n
       |FROM embeddings GROUP BY 1, 2 ORDER BY label, pred""".stripMargin
 
-  /** M7/Q6: per-class precision/recall/F1/support derived from the
-    * confusion counts (two cheap aggregates + a broadcast join — no
-    * per-row work, scales with |classes| not |rows|). */
+  /** M7/Q6: per-class precision/recall/F1/support. The per-label AND
+    * per-prediction counts are both marginals of the confusion matrix
+    * (≤ |classes|² rows), so the corpus is scanned and aggregated
+    * ONCE into the matrix; each cell then contributes to its label
+    * class (support/tp) and its pred class (pred_cnt) via a 2-way
+    * explode, and one tiny aggregate replaces the former second
+    * corpus scan + join. The support>0 ∧ pred_cnt>0 filter reproduces
+    * exactly what the old byLabel ⋈ byPred inner join kept (a class
+    * never predicted, never true, or NULL matched no join row). */
   def classReport(s: SparkSession, d: String): DataFrame = {
-    val sc = scored(s, d)
-    val byLabel = sc.groupBy(col("label").as("class"))
-      .agg(count(lit(1)).as("support"),
-        sum(when(col("pred") === col("label"), 1L).otherwise(0L)).as("tp"))
-    val byPred = sc.groupBy(col("pred").as("class"))
-      .agg(count(lit(1)).as("pred_cnt"))
-    byLabel.join(byPred, "class")
+    val cm = scored(s, d)
+      .groupBy("label", "pred")
+      .agg(count(lit(1)).as("n"))
+    cm.select(explode(array(
+        struct(col("label").as("class"), col("n").as("support_n"),
+          when(col("pred") === col("label"), col("n")).otherwise(0L).as("tp_n"),
+          lit(0L).as("pred_n")),
+        struct(col("pred").as("class"), lit(0L).as("support_n"),
+          lit(0L).as("tp_n"), col("n").as("pred_n")))).as("c"))
+      .select(col("c.class").as("class"), col("c.support_n").as("support_n"),
+        col("c.tp_n").as("tp_n"), col("c.pred_n").as("pred_n"))
+      .groupBy("class")
+      .agg(sum(col("support_n")).as("support"),
+        sum(col("tp_n")).as("tp"),
+        sum(col("pred_n")).as("pred_cnt"))
+      .filter(col("support") > 0 && col("pred_cnt") > 0)
       .withColumn("precision", round(col("tp") / col("pred_cnt"), 6))
       .withColumn("recall", round(col("tp") / col("support"), 6))
       .withColumn("f1",
